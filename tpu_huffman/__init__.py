@@ -30,6 +30,7 @@ from .ops import (
     encode_with_index,
     get_encoded_length,
 )
+from .stream import DecodeResult, EncodeResult, HuffmanDecoder, HuffmanEncoder
 from .tables import CodeSpec, HuffmanTable, load_static_test_table, make_canonical
 
 __version__ = "0.1.0"
@@ -61,6 +62,10 @@ __all__ = [
     "BlockIndex",
     "CodeSpec",
     "CompressionError",
+    "DecodeResult",
+    "EncodeResult",
+    "HuffmanDecoder",
+    "HuffmanEncoder",
     "HuffmanTable",
     "ShortBufferError",
     "TableError",

@@ -39,6 +39,7 @@ from .encode import DeviceTable
 
 STATUS_OK = 0
 STATUS_UNKNOWN_SYMBOL = 1
+STATUS_OUTPUT_FULL = 2  # the SHORT_BUFFER stop reason (reference huffman.c:266)
 
 
 def lut_lookup(window: jnp.ndarray, dt: DeviceTable, root_bits: int):
@@ -119,10 +120,10 @@ def decode_stream_kernel(
     *before* the symbol is consumed, so a truncated call is restartable.
 
     Returns (symbols uint8[steps], valid bool[steps], n_decoded, end_bit,
-    status). ``status`` is STATUS_OK or STATUS_UNKNOWN_SYMBOL; hitting
-    ``out_capacity`` is reported via n_decoded == out_capacity with
-    end_bit marking the resume position (the host layer maps that to the
-    SHORT_BUFFER protocol).
+    status). ``status`` is STATUS_OK (input exhausted / needs more input /
+    trailing padding), STATUS_UNKNOWN_SYMBOL, or STATUS_OUTPUT_FULL (the
+    stream layer maps the latter to the SHORT_BUFFER protocol);
+    ``end_bit`` marks the resume position.
     """
     dt = _LutView(l0_bits, l0_val, l1_bits, l1_val)
 
@@ -141,7 +142,21 @@ def decode_stream_kernel(
 
         stop = done | need_more | unknown | overrun | out_full | exhausted
         emit = ~stop
-        new_status = jnp.where(done, status, jnp.where(unknown, STATUS_UNKNOWN_SYMBOL, STATUS_OK))
+        # Stop-reason priority follows the reference check order:
+        # no-match cases first, then padding overrun, then output-full.
+        new_status = jnp.where(
+            done,
+            status,
+            jnp.where(
+                unknown,
+                STATUS_UNKNOWN_SYMBOL,
+                jnp.where(
+                    out_full & ~need_more & ~overrun & ~exhausted,
+                    STATUS_OUTPUT_FULL,
+                    STATUS_OK,
+                ),
+            ),
+        )
         off2 = jnp.where(emit, off + nbits, off)
         n2 = jnp.where(emit, n_out + 1, n_out)
         return (off2, n2, stop | done, new_status), (sym.astype(jnp.uint8), emit)

@@ -1,0 +1,287 @@
+"""Streaming codec: the chunked, resumable protocol.
+
+Python equivalents of the reference's persistent encoder/decoder objects
+(reference: include/aws/compression/huffman.h:63-84) and their
+SHORT_BUFFER resume protocol (reference README.md:110-174). The streaming
+state *is* the checkpoint (SURVEY.md §5): both classes expose their state
+as plain ints/bytes so callers can serialize and resume anywhere.
+
+Protocol mapping (C -> Python):
+  aws_huffman_encode raising AWS_ERROR_SHORT_BUFFER with partial output
+    -> ``HuffmanEncoder.encode_chunk`` returning ``done=False`` with the
+       partial bytes (Python can't both return data and raise).
+  encoder overflow_bits (reference huffman.h:69, saved huffman.c:89-99)
+    -> ``HuffmanEncoder`` carry state (pattern, nbits), bit-identical.
+  decoder working_bits/num_bits window (reference huffman.h:82-83)
+    -> ``HuffmanDecoder`` remainder bitstream. One deliberate internal
+       difference: when output capacity stops a decode, the reference
+       leaves unread bytes in the *caller's* cursor while we retain them
+       internally — emitted bytes and error conditions are identical, the
+       caller just never re-feeds consumed input.
+
+Bulk bit-packing runs on device through the same kernels as the one-shot
+path; only the protocol arithmetic (prefix-sum searches over code lengths)
+runs on host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from .errors import ShortBufferError, UnknownSymbolError
+from .ops.bitpack import bytes_from_words_np, words_from_bytes_np
+from .ops.decode import (
+    STATUS_OUTPUT_FULL,
+    STATUS_UNKNOWN_SYMBOL,
+    decode_stream_kernel,
+)
+from .ops.encode import (
+    DEFAULT_EOS_PADDING,
+    DeviceTable,
+    _bucket_size,
+    encode_block_kernel,
+)
+from .tables import HuffmanTable
+
+
+@dataclasses.dataclass
+class EncodeResult:
+    data: bytes  # bytes produced by this call (always complete bytes)
+    consumed: int  # input symbols consumed (reference: cursor advance)
+    done: bool  # False == reference AWS_ERROR_SHORT_BUFFER
+
+
+@dataclasses.dataclass
+class DecodeResult:
+    data: bytes  # symbols produced by this call
+    done: bool  # False == reference AWS_ERROR_SHORT_BUFFER
+
+
+def _as_u8(data) -> np.ndarray:
+    if isinstance(data, (bytes, bytearray, memoryview)):
+        return np.frombuffer(bytes(data), dtype=np.uint8)
+    return np.asarray(data, dtype=np.uint8)
+
+
+class HuffmanEncoder:
+    """Persistent streaming encoder (reference: aws_huffman_encoder).
+
+    State between calls is the carry: the low bits of a code that crossed
+    the last capacity boundary (== reference overflow_bits, huffman.h:69).
+    Every call that finishes the stream pads the final partial byte with
+    the low bits of ``eos_padding`` (reference huffman.c:178-184), so —
+    exactly like the reference — chunking *input* across successful calls
+    inserts padding at each chunk end, while chunking *output* via
+    ``done=False`` resumes produce one continuous bitstream.
+    """
+
+    def __init__(self, table: HuffmanTable, eos_padding: int = DEFAULT_EOS_PADDING):
+        self.table = table
+        self.eos_padding = eos_padding
+        self._carry_pattern = 0
+        self._carry_len = 0
+
+    def reset(self) -> None:
+        """Clear resume state (reference: aws_huffman_encoder_reset,
+        source/huffman.c:22-27)."""
+        self._carry_pattern = 0
+        self._carry_len = 0
+
+    @property
+    def overflow_bits(self) -> tuple[int, int]:
+        """(pattern, num_bits) carry, bit-identical to the reference field."""
+        return self._carry_pattern, self._carry_len
+
+    def state(self) -> dict:
+        """Serializable checkpoint of the stream state."""
+        return {"carry_pattern": self._carry_pattern, "carry_len": self._carry_len}
+
+    def load_state(self, state: dict) -> None:
+        self._carry_pattern = int(state["carry_pattern"])
+        self._carry_len = int(state["carry_len"])
+
+    def encoded_length(self, data) -> int:
+        """Dry-run byte length (reference: aws_huffman_get_encoded_length,
+        source/huffman.c:107-129). Ignores carry, like the reference."""
+        symbols = _as_u8(data)
+        bits = int(self.table.lengths[symbols].sum())
+        return (bits + 7) // 8
+
+    def encode_chunk(self, data, capacity: int | None = None) -> EncodeResult:
+        """Encode up to ``capacity`` output bytes; resume-safe.
+
+        ``capacity=None`` means unbounded (always completes). Raises
+        UnknownSymbolError on the first symbol without a code, matching
+        reference behavior (huffman.c:62-64) except no partial bytes are
+        emitted first.
+        """
+        symbols = _as_u8(data)
+        n = symbols.size
+        lens = self.table.lengths[symbols].astype(np.int64)
+        bad = np.flatnonzero(lens == 0)
+        if bad.size:
+            i = int(bad[0])
+            raise UnknownSymbolError(index=i, symbol=int(symbols[i]))
+
+        ends = np.cumsum(lens) + self._carry_len
+        total_bits = int(ends[-1]) if n else self._carry_len
+        if total_bits == 0:
+            return EncodeResult(b"", 0, True)
+        writable = None if capacity is None else 8 * int(capacity)
+
+        if writable is None or total_bits <= writable:
+            out = self._pack(symbols, pad=True)
+            self._carry_pattern = 0
+            self._carry_len = 0
+            return EncodeResult(out, n, True)
+
+        # Short-buffer path: emit exactly `capacity` full bytes.
+        if writable == 0:
+            return EncodeResult(b"", 0, False)
+        if self._carry_len > writable:
+            # The pending carry alone overflows the budget: re-overflow its
+            # tail, consuming no input (reference: the overflow flush at
+            # huffman.c:148-159 can itself hit the short-buffer path in
+            # encode_write_bit_pattern, huffman.c:88-99).
+            over = self._carry_len - writable
+            out = self._pack(symbols[:0], pad=False, min_bytes=capacity)
+            self._carry_pattern &= (1 << over) - 1
+            self._carry_len = over
+            return EncodeResult(out[:capacity], 0, False)
+        k_full = int(np.searchsorted(ends, writable, side="right"))
+        consumed = k_full
+        new_carry = (0, 0)
+        if k_full < n and int(ends[k_full] - lens[k_full]) < writable:
+            # Code k_full straddles the boundary: its low bits carry over
+            # (reference huffman.c:88-99).
+            over = int(ends[k_full]) - writable
+            pattern = int(self.table.patterns[symbols[k_full]])
+            new_carry = (pattern & ((1 << over) - 1), over)
+            consumed = k_full + 1
+        out = self._pack(symbols[:consumed], pad=False, min_bytes=capacity)
+        self._carry_pattern, self._carry_len = new_carry
+        return EncodeResult(out[:capacity], consumed, False)
+
+    def encode(self, data) -> bytes:
+        """One-shot convenience; includes any pending carry."""
+        return self.encode_chunk(data, None).data
+
+    def _pack(self, symbols: np.ndarray, pad: bool, min_bytes: int | None = None) -> bytes:
+        """Device bit-pack of ``symbols`` behind the current carry bits."""
+        n = symbols.size
+        bucket = _bucket_size(max(n, 1))
+        padded = np.zeros(bucket, dtype=np.uint8)
+        padded[:n] = symbols
+        dt = DeviceTable.for_table(self.table)
+        words, total_bits, padded_bits, _bad, _idx = encode_block_kernel(
+            jnp.asarray(padded),
+            jnp.int32(n),
+            dt.patterns,
+            dt.lengths,
+            jnp.uint32(self.eos_padding if pad else 0),
+            jnp.int32(self._carry_len),
+            num_out_words=bucket + 2,
+        )
+        words_np = np.asarray(words).copy()
+        if self._carry_len:
+            words_np[0] |= np.uint32(
+                (self._carry_pattern << (32 - self._carry_len)) & 0xFFFFFFFF
+            )
+        nbits = int(padded_bits) if pad else int(total_bits)
+        nbytes = (nbits + 7) // 8
+        if min_bytes is not None:
+            nbytes = max(nbytes, min_bytes)
+        return bytes_from_words_np(words_np, nbytes)
+
+
+class HuffmanDecoder:
+    """Persistent streaming decoder (reference: aws_huffman_decoder).
+
+    ``allow_growth=True`` makes plain :meth:`decode` ignore capacity and
+    always finish (reference: aws_huffman_decoder_allow_growth,
+    source/huffman.c:44-46 — growth is internal here since Python bytes
+    aren't fixed buffers).
+    """
+
+    def __init__(self, table: HuffmanTable, allow_growth: bool = False):
+        self.table = table
+        self.allow_growth = allow_growth
+        self._rem = np.zeros(0, dtype=np.uint8)  # unread stream bytes
+        self._rem_start_bit = 0  # bit offset into _rem[0]
+
+    def reset(self) -> None:
+        """Reference: aws_huffman_decoder_reset (source/huffman.c:38-42)."""
+        self._rem = np.zeros(0, dtype=np.uint8)
+        self._rem_start_bit = 0
+
+    def state(self) -> dict:
+        return {"rem": self._rem.tobytes(), "rem_start_bit": self._rem_start_bit}
+
+    def load_state(self, state: dict) -> None:
+        self._rem = np.frombuffer(state["rem"], dtype=np.uint8).copy()
+        self._rem_start_bit = int(state["rem_start_bit"])
+
+    @property
+    def leftover_bits(self) -> tuple[int, int]:
+        """(value, num_bits) of unconsumed tail bits, MSB-first.
+
+        The reference leaves trailing padding in working_bits for caller
+        inspection — e.g. HPACK's all-1s padding check
+        (reference README.md:176-183).
+        """
+        total = self._rem.size * 8 - self._rem_start_bit
+        value = 0
+        for i in range(self._rem.size):
+            value = (value << 8) | int(self._rem[i])
+        value &= (1 << total) - 1 if total else 0
+        return value, total
+
+    def decode_chunk(self, data, capacity: int | None = None) -> DecodeResult:
+        """Decode; stops after ``capacity`` symbols (done=False) or when the
+        input is exhausted (done=True). Consumes all of ``data`` into
+        internal state either way."""
+        new = _as_u8(data)
+        stream = np.concatenate([self._rem, new]) if self._rem.size else new
+        start_bit = self._rem_start_bit
+        total_bits = stream.size * 8
+        if total_bits - start_bit <= 0:
+            return DecodeResult(b"", True)
+
+        words_np, _ = words_from_bytes_np(stream)
+        words = jnp.concatenate([jnp.asarray(words_np), jnp.zeros(2, dtype=jnp.uint32)])
+        max_possible = (total_bits - start_bit) // max(self.table.min_len, 1) + 1
+        cap = max_possible if capacity is None else min(int(capacity), max_possible)
+        steps = 1 << max(4, int(min(cap + 1, max_possible + 1) - 1).bit_length())
+        dt = DeviceTable.for_table(self.table)
+        syms, _valid, n_decoded, end_bit, status = decode_stream_kernel(
+            words,
+            jnp.int32(start_bit),
+            jnp.int32(total_bits),
+            jnp.int32(cap),
+            dt.l0_bits, dt.l0_val, dt.l1_bits, dt.l1_val,
+            root_bits=self.table.root_bits,
+            steps=steps,
+        )
+        status = int(status)
+        if status == STATUS_UNKNOWN_SYMBOL:
+            raise UnknownSymbolError()
+        n = int(n_decoded)
+        end = int(end_bit)
+        self._rem = stream[end // 8 :].copy()
+        self._rem_start_bit = end % 8
+        out = np.asarray(syms)[:n].tobytes()
+        return DecodeResult(out, status != STATUS_OUTPUT_FULL)
+
+    def decode(self, data, capacity: int | None = None) -> bytes:
+        """Reference-shaped decode: raises ShortBufferError when capacity
+        stops the decode and growth is off (reference huffman.c:257-266)."""
+        if capacity is None or self.allow_growth:
+            return self.decode_chunk(data, None).data
+        res = self.decode_chunk(data, capacity)
+        if not res.done:
+            # State already advanced; caller can call again with b"".
+            raise ShortBufferError(res.data)
+        return res.data
