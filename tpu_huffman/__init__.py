@@ -30,6 +30,7 @@ from .ops import (
     encode_with_index,
     get_encoded_length,
 )
+from .shard import MeshCodec, default_mesh
 from .stream import DecodeResult, EncodeResult, HuffmanDecoder, HuffmanEncoder
 from .tables import CodeSpec, HuffmanTable, load_static_test_table, make_canonical
 
@@ -67,11 +68,13 @@ __all__ = [
     "HuffmanDecoder",
     "HuffmanEncoder",
     "HuffmanTable",
+    "MeshCodec",
     "ShortBufferError",
     "TableError",
     "UnknownSymbolError",
     "decode",
     "decode_indexed",
+    "default_mesh",
     "encode",
     "encode_with_index",
     "get_encoded_length",

@@ -1,0 +1,325 @@
+"""Data-parallel codec over a JAX device mesh.
+
+The reference is single-process and strictly sequential; its only scaling
+axis is streaming in time (SURVEY.md §2.2). This module adds the scaling
+axis the TPU build needs: **block data parallelism** over a
+`jax.sharding.Mesh`, with XLA collectives on ICI/DCN doing the global
+coordination the reference never had:
+
+  encode:  each device packs its contiguous symbol shard locally;
+           the global bit offset of every shard is an `all_gather` of the
+           per-shard bit totals + exclusive cumsum (the NCCL-equivalent
+           layer is just this one collective); a final scatter-OR stitches
+           the shard word-arrays into one stream, bit-identical to the
+           single-chip / reference encoding of the whole buffer.
+  decode:  blocks from a BlockIndex are striped contiguously across
+           devices; each device receives only the word-range its blocks
+           touch (no replicated input), runs the LUT scan kernel, and the
+           outputs concatenate in order (fixed symbols per block).
+
+Mesh shape is caller-chosen; a 2-D ('dcn', 'ici') mesh flattens to one
+data axis here because block DP is the honest mapping for a codec
+(SURVEY.md §2.2) — the collectives ride ICI within a host and DCN across.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .errors import UnknownSymbolError
+from .ops.bitpack import bytes_from_words_np, words_from_bytes_np
+from .ops.decode import BlockIndex, decode_blocks_kernel, lut_lookup, _LutView
+from .ops.encode import DEFAULT_EOS_PADDING, DeviceTable
+from .tables import HuffmanTable
+
+
+def default_mesh(devices=None, axis: str = "data") -> Mesh:
+    """A 1-D data mesh over all local devices (or the given ones)."""
+    devices = jax.devices() if devices is None else devices
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def _flat_axes(mesh: Mesh) -> tuple[str, ...]:
+    return tuple(mesh.axis_names)
+
+
+# --------------------------------------------------------------- encode ----
+
+
+def _shard_encode_body(symbols, n_valid, patterns, lengths, axes):
+    """Per-shard bit packing; runs under shard_map.
+
+    symbols: uint8[local_n] this shard's symbols
+    n_valid: int32[1]       valid symbols in this shard
+    Returns (words uint32[local_n+2] local bit-packed stream aligned to the
+    shard's *global* intra-word phase, bit_total int32[1], word_base int32[1],
+    bad int32[1], global_total int32[1]).
+    """
+    n = symbols.shape[0]
+    nv = n_valid[0]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    valid = pos < nv
+    lens_raw = lengths[symbols]
+    lens = jnp.where(valid, lens_raw, 0)
+    bad = jnp.any(valid & (lens_raw == 0))
+
+    ends = jnp.cumsum(lens, dtype=jnp.int32)
+    local_bits = ends[-1]
+
+    # Global exclusive prefix of shard bit totals: one all_gather over the
+    # flattened mesh axes, then a cumsum (ordered by mesh position).
+    # Gather innermost axis first so dims stack [a0, a1, ...]; flattening is
+    # then majority-ordered like the P((a0, a1, ...)) shard assignment.
+    totals = local_bits
+    for ax in reversed(axes):
+        totals = jax.lax.all_gather(totals, ax, axis=0)
+    totals = totals.reshape(-1)
+    my_idx = jax.lax.axis_index(axes[0])
+    for ax in axes[1:]:
+        my_idx = my_idx * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
+    csum = jnp.cumsum(totals)
+    offset = csum[my_idx] - local_bits  # exclusive prefix
+    global_total = csum[-1]
+
+    # Pack local bits phase-aligned: local bit j sits at global bit offset+j,
+    # i.e. at bit (offset%32 + j) of local words starting at word offset//32.
+    phase = offset & 31
+    word_base = offset >> 5
+    starts = ends - lens + phase
+    pats = patterns[symbols].astype(jnp.uint32)
+    shift_left = jnp.uint32(32) - lens.astype(jnp.uint32)
+    p32 = jnp.where(lens > 0, pats << (shift_left & jnp.uint32(31)), jnp.uint32(0))
+    widx = (starts >> 5).astype(jnp.int32)
+    sh = (starts & 31).astype(jnp.uint32)
+    hi = p32 >> sh
+    lo = (p32 << (jnp.uint32(31) - sh)) << jnp.uint32(1)
+    words = jnp.zeros(n + 2, dtype=jnp.uint32)
+    words = words.at[widx].add(hi, mode="drop", indices_are_sorted=True)
+    words = words.at[widx + 1].add(lo, mode="drop", indices_are_sorted=True)
+    return (
+        words,
+        local_bits[None],
+        word_base[None],
+        bad.astype(jnp.int32)[None],
+        global_total[None],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("num_out_words",))
+def _stitch_kernel(words, word_bases, num_out_words: int):
+    """Scatter-OR every shard's word window into the global stream.
+
+    Bits are disjoint across shards (each owns a bit range; the slack words
+    past a shard's last bit are zero), so add == or.
+    """
+    ndev, w = words.shape
+    idx = word_bases[:, None] + jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    out = jnp.zeros(num_out_words, dtype=jnp.uint32)
+    return out.at[idx.reshape(-1)].add(words.reshape(-1), mode="drop")
+
+
+@dataclasses.dataclass
+class MeshCodec:
+    """Data-parallel encoder/decoder bound to a mesh and a table.
+
+    Produces byte streams bit-identical to the single-chip path (and thus to
+    the reference); emits/consumes the same BlockIndex metadata.
+    """
+
+    table: HuffmanTable
+    mesh: Mesh
+    block_symbols: int = 4096  # BlockIndex granularity for decode striping
+
+    def __post_init__(self):
+        self._dt = DeviceTable.for_table(self.table)
+        self._ndev = math.prod(self.mesh.devices.shape)
+        axes = _flat_axes(self.mesh)
+        spec_in = P(axes[0] if len(axes) == 1 else axes)
+        self._encode_sharded = jax.jit(
+            jax.shard_map(
+                functools.partial(
+                    _shard_encode_body,
+                    patterns=self._dt.patterns,
+                    lengths=self._dt.lengths,
+                    axes=axes,
+                ),
+                mesh=self.mesh,
+                in_specs=(spec_in, spec_in),
+                out_specs=(spec_in, spec_in, spec_in, spec_in, spec_in),
+                check_vma=False,
+            ),
+            static_argnames=(),
+        )
+        self._decode_sharded = jax.jit(
+            jax.shard_map(
+                functools.partial(
+                    _shard_decode_body,
+                    l0_bits=self._dt.l0_bits,
+                    l0_val=self._dt.l0_val,
+                    l1_bits=self._dt.l1_bits,
+                    l1_val=self._dt.l1_val,
+                    root_bits=self.table.root_bits,
+                    steps=self.block_symbols,
+                ),
+                mesh=self.mesh,
+                in_specs=(spec_in, spec_in, spec_in),
+                out_specs=spec_in,
+                check_vma=False,
+            )
+        )
+
+    # ---- encode ----
+
+    def encode(self, data: bytes | np.ndarray, with_index: bool = True):
+        """Returns (encoded_bytes, BlockIndex | None).
+
+        Output bytes == tpu_huffman.encode(data) == the reference encoding.
+        """
+        symbols = (
+            np.frombuffer(bytes(data), dtype=np.uint8)
+            if isinstance(data, (bytes, bytearray))
+            else np.asarray(data, dtype=np.uint8)
+        )
+        n = symbols.size
+        if n == 0:
+            empty = BlockIndex(self.block_symbols, np.zeros(0, np.int32),
+                               np.zeros(0, np.int32), 0, 0)
+            return b"", (empty if with_index else None)
+
+        ndev = self._ndev
+        # Shard size: multiple of block_symbols so decode striping aligns.
+        per_dev = -(-n // ndev)
+        per_dev = -(-per_dev // self.block_symbols) * self.block_symbols
+        total_padded = per_dev * ndev
+        padded = np.zeros(total_padded, dtype=np.uint8)
+        padded[:n] = symbols
+        n_valid = np.minimum(
+            np.maximum(n - per_dev * np.arange(ndev, dtype=np.int64), 0), per_dev
+        ).astype(np.int32)
+
+        words, local_bits, word_bases, bad, global_total = self._encode_sharded(
+            jnp.asarray(padded), jnp.asarray(n_valid)
+        )
+        if bool(jnp.any(bad > 0)):
+            lens = self.table.lengths[symbols]
+            idx = int(np.flatnonzero(lens == 0)[0])
+            raise UnknownSymbolError(index=idx, symbol=int(symbols[idx]))
+
+        total_bits = int(global_total[0])
+        num_words = total_bits // 32 + 2
+        out_words = _stitch_kernel(
+            words.reshape(ndev, -1), word_bases.reshape(-1).astype(jnp.int32),
+            num_out_words=num_words,
+        )
+        out_np = np.asarray(out_words)
+        # EOS padding on the final partial byte (host-side: one byte).
+        out = bytearray(bytes_from_words_np(out_np, (total_bits + 7) // 8))
+        tail = total_bits & 7
+        if tail:
+            pad = 8 - tail
+            out[-1] |= DEFAULT_EOS_PADDING & ((1 << pad) - 1)
+        if not with_index:
+            return bytes(out), None
+
+        # Block index: recompute block offsets from per-shard prefix sums on
+        # host (cheap: one cumsum over code lengths per block boundary).
+        lens64 = self.table.lengths[symbols].astype(np.int64)
+        ends = np.cumsum(lens64)
+        n_blocks = -(-n // self.block_symbols)
+        starts_idx = np.arange(n_blocks) * self.block_symbols
+        offsets = np.zeros(n_blocks, dtype=np.int64)
+        offsets[1:] = ends[starts_idx[1:] - 1]
+        n_sym = np.full(n_blocks, self.block_symbols, dtype=np.int32)
+        n_sym[-1] = n - (n_blocks - 1) * self.block_symbols
+        index = BlockIndex(
+            symbols_per_block=self.block_symbols,
+            bit_offsets=offsets.astype(np.int32),
+            n_symbols=n_sym,
+            total_symbols=n,
+            total_bits=total_bits,
+        )
+        return bytes(out), index
+
+    # ---- decode ----
+
+    def decode(self, data: bytes | np.ndarray, index: BlockIndex) -> bytes:
+        """Block-parallel decode striped over the mesh."""
+        raw = bytes(data) if isinstance(data, (bytes, bytearray)) else bytes(
+            np.asarray(data, dtype=np.uint8).tobytes()
+        )
+        if index.total_symbols == 0:
+            return b""
+        words_np, _ = words_from_bytes_np(raw)
+        words_np = np.concatenate([words_np, np.zeros(2, dtype=np.uint32)])
+
+        ndev = self._ndev
+        B = index.bit_offsets.size
+        bpd = -(-B // ndev)  # blocks per device
+        # Per-shard word windows: shard s covers blocks [s*bpd, (s+1)*bpd).
+        first = np.minimum(np.arange(ndev) * bpd, B - 1)
+        word_base = (index.bit_offsets[first].astype(np.int64) // 32).astype(np.int64)
+        # Window size: max words any shard touches.
+        ends_bits = np.empty(ndev, dtype=np.int64)
+        for s in range(ndev):
+            last_b = min((s + 1) * bpd, B) - 1
+            if last_b < s * bpd:
+                ends_bits[s] = word_base[s] * 32
+            else:
+                ends_bits[s] = int(index.bit_offsets[last_b]) + int(
+                    index.n_symbols[last_b]
+                ) * self.table.max_len
+        wmax = int(np.max(-(-(ends_bits - word_base * 32) // 32))) + 2
+        win = np.zeros((ndev, wmax), dtype=np.uint32)
+        for s in range(ndev):
+            lo = int(word_base[s])
+            hi = min(lo + wmax, words_np.size)
+            win[s, : hi - lo] = words_np[lo:hi]
+
+        rel_offsets = np.zeros((ndev, bpd), dtype=np.int32)
+        n_sym = np.zeros((ndev, bpd), dtype=np.int32)
+        for s in range(ndev):
+            for j in range(bpd):
+                b = s * bpd + j
+                if b < B:
+                    rel_offsets[s, j] = int(index.bit_offsets[b]) - 32 * int(word_base[s])
+                    n_sym[s, j] = int(index.n_symbols[b])
+
+        syms = self._decode_sharded(
+            jnp.asarray(win).reshape(-1),
+            jnp.asarray(rel_offsets).reshape(-1),
+            jnp.asarray(n_sym).reshape(-1),
+        )
+        out = np.asarray(syms).reshape(ndev * bpd, self.block_symbols)
+        # Blocks are full except the last; flatten then cut.
+        parts = []
+        for b in range(B):
+            parts.append(out[b, : int(index.n_symbols[b])])
+        return np.concatenate(parts).tobytes()
+
+
+def _shard_decode_body(win, rel_offsets, n_sym, l0_bits, l0_val, l1_bits, l1_val,
+                       root_bits, steps):
+    """Per-shard block decode; runs under shard_map (flat 1-D inputs)."""
+    win = win.reshape(-1)
+    offs = rel_offsets.reshape(-1)
+    ns = n_sym.reshape(-1)
+    dt = _LutView(l0_bits, l0_val, l1_bits, l1_val)
+
+    def step(off, i):
+        from .ops.bitpack import extract_windows
+
+        w = extract_windows(win, off)
+        sym, nbits = lut_lookup(w, dt, root_bits)
+        active = i < ns
+        return jnp.where(active, off + nbits, off), sym.astype(jnp.uint8)
+
+    _, syms = jax.lax.scan(step, offs.astype(jnp.int32),
+                           jnp.arange(steps, dtype=jnp.int32))
+    return syms.T.reshape(-1)
