@@ -1,0 +1,92 @@
+"""Property/fuzz tier (SURVEY.md §4 tier 5).
+
+Python-side analog of the reference's libFuzzer targets
+(reference: tests/fuzz/decode.c, transitive.c, transitive_chunked.c):
+  - decoding arbitrary bytes must never crash (UnknownSymbolError or clean
+    output only),
+  - round-trip over arbitrary bytes is lossless,
+  - chunked round-trip at arbitrary step sizes is lossless.
+Driven by hypothesis; kept small so the interpret-mode kernels stay fast.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+import tpu_huffman as th
+
+TABLE = th.load_static_test_table()
+FUZZ = settings(max_examples=30, deadline=None)
+
+
+@given(data=st.binary(min_size=0, max_size=512))
+@FUZZ
+def test_decode_arbitrary_bytes_never_crashes(data):
+    try:
+        out = th.decode(data, TABLE)
+    except th.UnknownSymbolError:
+        return
+    assert isinstance(out, bytes)
+
+
+@given(data=st.binary(min_size=0, max_size=512))
+@FUZZ
+def test_roundtrip_lossless(data):
+    enc = th.encode(data, TABLE)
+    assert th.decode(enc, TABLE) == data
+
+
+@given(data=st.binary(min_size=1, max_size=256), k=st.sampled_from([4, 8, 16, 32]))
+@FUZZ
+def test_indexed_roundtrip_lossless(data, k):
+    enc, idx = th.encode_with_index(data, TABLE, block_symbols=k)
+    assert enc == th.encode(data, TABLE)  # index never changes the bytes
+    assert th.decode_indexed(enc, idx, TABLE) == data
+
+
+@given(
+    data=st.binary(min_size=1, max_size=200),
+    step=st.sampled_from([1, 2, 3, 7, 8, 33, 128]),
+)
+@FUZZ
+def test_chunked_encode_roundtrip(data, step):
+    """Reference: fuzz/transitive_chunked.c — grow output chunk by chunk."""
+    enc = th.HuffmanEncoder(TABLE)
+    out = b""
+    pending = data
+    for _ in range(10000):
+        res = enc.encode_chunk(pending, step)
+        out += res.data
+        pending = pending[res.consumed :]
+        if res.done:
+            break
+    assert out == th.encode(data, TABLE)
+    assert th.decode(out, TABLE) == data
+
+
+@given(
+    data=st.binary(min_size=1, max_size=200),
+    step=st.sampled_from([1, 3, 8, 64]),
+)
+@FUZZ
+def test_chunked_decode_roundtrip(data, step):
+    enc = th.encode(data, TABLE)
+    dec = th.HuffmanDecoder(TABLE)
+    out = b""
+    for i in range(0, len(enc), step):
+        out += dec.decode_chunk(enc[i : i + step]).data
+    assert out == data
+
+
+@given(seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=10, deadline=None)
+def test_sparse_table_decode_rejects_or_roundtrips(seed):
+    """Arbitrary bytes against a sparse table: no crash, correct verdict."""
+    sparse = th.make_canonical({65: 1, 66: 2, 67: 3, 68: 3}, name="sparse4")
+    rng = np.random.default_rng(seed)
+    blob = rng.integers(0, 256, size=64, dtype=np.uint8).tobytes()
+    try:
+        out = th.decode(blob, sparse)
+    except th.UnknownSymbolError:
+        return
+    assert set(out) <= {65, 66, 67, 68}

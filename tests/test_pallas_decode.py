@@ -1,0 +1,89 @@
+"""Pallas fast-path decode: correctness (interpret mode on the CPU backend).
+
+The kernel itself targets TPU; on the test backend it runs through the
+Pallas interpreter, so keep inputs small. Bit-level behavior must match the
+scan-kernel reference path and the one-shot sequential decoder.
+"""
+
+import numpy as np
+import pytest
+
+import tpu_huffman as th
+from tpu_huffman.ops import pallas_decode
+from tpu_huffman.tables import CodeSpec, HuffmanTable
+
+
+@pytest.fixture(scope="module")
+def table():
+    return th.load_static_test_table()
+
+
+def test_static_table_is_range_monotone(table):
+    s = pallas_decode.structure_for(table)
+    assert s is not None
+    assert len(s.intervals) == 6  # lengths 5..10
+    # perm must cover all 256 symbols exactly once
+    assert sorted(s.perm.tolist()) == list(range(256))
+
+
+def test_supports_envelope(table):
+    assert pallas_decode.supports(table, 32)
+    assert pallas_decode.supports(table, 128)
+    assert not pallas_decode.supports(table, 30)  # not a multiple of 4
+    assert not pallas_decode.supports(table, 1024)  # too deep
+
+
+def test_non_monotone_table_falls_back():
+    # Codes 00, 01, 11: length-2 codes {0, 1, 3} are not consecutive.
+    t = HuffmanTable.from_specs(
+        [CodeSpec(97, 2, 0), CodeSpec(98, 2, 1), CodeSpec(99, 2, 3)], name="gap"
+    )
+    assert pallas_decode.structure_for(t) is None
+    assert not pallas_decode.supports(t, 32)
+    # decode_indexed still works through the scan kernel
+    data = b"abcabccba"
+    enc, idx = th.encode_with_index(data, t, block_symbols=4)
+    assert th.decode_indexed(enc, idx, t) == data
+
+
+@pytest.mark.parametrize("k", [8, 16])
+@pytest.mark.parametrize("n", [5, 64, 1000])
+def test_pallas_matches_sequential(table, k, n):
+    rng = np.random.default_rng(n * 31 + k)
+    data = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+    enc, idx = th.encode_with_index(data, table, block_symbols=k)
+    assert pallas_decode.supports(table, k)
+    out = pallas_decode.decode_indexed_pallas(enc, idx, table)
+    assert out == data
+    assert out == th.decode(enc, table)
+
+
+def test_pallas_canonical_custom_table():
+    # Kraft-complete mix: 2x2bit + 4x4bit + 8x6bit + 16x7bit = 1.0
+    lens = {}
+    sym = 0
+    for length, count in ((2, 2), (4, 4), (6, 8), (7, 16)):
+        for _ in range(count):
+            lens[sym] = length
+            sym += 1
+    t = th.make_canonical(lens, name="c8")
+    assert pallas_decode.supports(t, 8)
+    rng = np.random.default_rng(9)
+    data = rng.integers(0, sym, size=333, dtype=np.uint8).tobytes()
+    enc, idx = th.encode_with_index(data, t, block_symbols=8)
+    assert pallas_decode.decode_indexed_pallas(enc, idx, t) == data
+
+
+def test_decode_indexed_dispatches_to_pallas(table, monkeypatch):
+    called = {}
+    orig = pallas_decode.decode_indexed_pallas
+
+    def spy(data, index, tab):
+        called["yes"] = True
+        return orig(data, index, tab)
+
+    monkeypatch.setattr(pallas_decode, "decode_indexed_pallas", spy)
+    data = b"dispatch-check" * 10
+    enc, idx = th.encode_with_index(data, table, block_symbols=16)
+    assert th.decode_indexed(enc, idx, table) == data
+    assert called.get("yes")

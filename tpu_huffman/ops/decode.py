@@ -234,7 +234,21 @@ def decode_indexed(
     index: BlockIndex,
     table: HuffmanTable,
 ) -> bytes:
-    """Block-parallel decode using a trusted BlockIndex (the fast path)."""
+    """Block-parallel decode using a trusted BlockIndex (the fast path).
+
+    Dispatches to the Pallas lane-tile kernel (ops/pallas_decode.py) when the
+    table is range-monotone and the block size fits its envelope; falls back
+    to the lax.scan LUT kernel otherwise (arbitrary prefix-free tables).
+    """
+    from . import pallas_decode
+
+    # Off-TPU the kernel runs through the (slow) Pallas interpreter; keep it
+    # only for small cases (correctness coverage) and use the scan path beyond.
+    small_enough = jax.default_backend() == "tpu" or (
+        index.total_symbols <= (1 << 14) and index.symbols_per_block <= 32
+    )
+    if small_enough and pallas_decode.supports(table, index.symbols_per_block):
+        return pallas_decode.decode_indexed_pallas(data, index, table)
     raw = bytes(data) if isinstance(data, (bytes, bytearray)) else np.asarray(data, dtype=np.uint8).tobytes()
     if index.total_symbols == 0:
         return b""

@@ -233,7 +233,7 @@ def encode_with_index(
     data: bytes | bytearray | np.ndarray,
     table: HuffmanTable,
     eos_padding: int = DEFAULT_EOS_PADDING,
-    block_symbols: int = 512,
+    block_symbols: int = 128,
 ):
     """Encode and return (bytes, BlockIndex) for block-parallel decode.
 

@@ -1,0 +1,289 @@
+"""Pallas TPU kernel: mini-block indexed Huffman decode.
+
+The reference decoder advances one symbol at a time through a bit window
+(reference: source/huffman.c:230-281); its serial bit-offset chain is the
+obstacle to vectorization. This kernel breaks the stream into K-symbol
+mini-blocks (bit offsets come from the encoder's BlockIndex — metadata
+outside the byte stream, so the stream stays bit-identical to the
+reference) and decodes 1024 blocks per grid step as an (8, 128) lane tile,
+entirely VMEM-resident.
+
+Two design rules force the kernel's shape (measured on this hardware):
+
+1. **No per-lane dynamic gathers.** XLA's elementwise gather is catastrophic
+   on TPU and Mosaic has no per-lane gather primitive. Every "lookup" here
+   is either arithmetic or a log2-depth select tree over VMEM-resident
+   values:
+     - the two stream words a window straddles: select tree over the
+       block's Wb-word row (the whole row sits in vector registers),
+     - code length + rank: *arithmetic* interval compares — possible
+       because compiled tables are "range-monotone" (codes of each length
+       occupy one consecutive code range; true for canonical tables and for
+       the reference's static test table),
+     - rank -> symbol: 4-level select tree over the 16x4-word packed
+       permutation table (scalar constants, broadcast into lanes).
+
+2. **One HBM touch per byte.** Per-block word windows are pre-sliced by one
+   XLA *row* gather (outer-index + inner-iota; this pattern lowers to fast
+   sliced loads, unlike elementwise gathers), staged [G, Wb, 8, 128] so each
+   grid step DMAs one contiguous block into VMEM.
+
+The decoded symbols are packed 4-per-u32 (little-endian) to keep the output
+tile int32-shaped; the host view reinterprets bytes for free.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..tables import HuffmanTable
+
+LANES = 1024  # blocks per grid step, shaped (8, 128)
+
+
+@dataclasses.dataclass(frozen=True)
+class RangeMonotone:
+    """Arithmetic decode structure: per code length one consecutive range.
+
+    intervals: tuple of (lo32, hi32, L, sub, bias) — a window w decodes at
+    length L iff lo32 <= w < hi32 (bounds MSB-aligned); its table rank is
+    (w >> sub) + bias. perm maps rank -> symbol byte.
+    """
+
+    intervals: tuple
+    perm: np.ndarray  # uint8[256] (padded with 0)
+
+    @property
+    def p32(self):
+        """perm packed little-endian: [16 rows][4 words]."""
+        p = self.perm.astype(np.uint32)
+        return [
+            [
+                int(
+                    p[a * 16 + w * 4]
+                    | (p[a * 16 + w * 4 + 1] << 8)
+                    | (p[a * 16 + w * 4 + 2] << 16)
+                    | (p[a * 16 + w * 4 + 3] << 24)
+                )
+                for w in range(4)
+            ]
+            for a in range(16)
+        ]
+
+
+def range_monotone_structure(table: HuffmanTable) -> RangeMonotone | None:
+    """Extract the arithmetic structure, or None if the table lacks it."""
+    by_len: dict[int, list[tuple[int, int]]] = {}
+    for s in range(256):
+        if table.lengths[s]:
+            by_len.setdefault(int(table.lengths[s]), []).append(
+                (int(table.patterns[s]), s)
+            )
+    intervals = []
+    perm = np.zeros(256, dtype=np.uint8)
+    base = 0
+    for L in sorted(by_len):
+        codes = sorted(by_len[L])
+        first = codes[0][0]
+        for i, (c, s) in enumerate(codes):
+            if c != first + i:
+                return None  # codes of this length are not consecutive
+        for i, (_, s) in enumerate(codes):
+            perm[base + i] = s
+        lo32 = first << (32 - L)
+        hi32 = (first + len(codes)) << (32 - L)
+        intervals.append((lo32, hi32, L, 32 - L, base - first))
+        base += len(codes)
+    intervals.sort()
+    # Sanity: intervals must not overlap (prefix-free already ensures this).
+    for a, b in zip(intervals, intervals[1:]):
+        if a[1] > b[0]:
+            return None
+    return RangeMonotone(intervals=tuple(intervals), perm=perm)
+
+
+_STRUCT_CACHE: dict[int, RangeMonotone | None] = {}
+
+
+def structure_for(table: HuffmanTable) -> RangeMonotone | None:
+    key = id(table)
+    if key not in _STRUCT_CACHE:
+        _STRUCT_CACHE[key] = range_monotone_structure(table)
+    return _STRUCT_CACHE[key]
+
+
+@functools.lru_cache(maxsize=64)
+def _make_pallas_call(intervals, p32_flat, K: int, Wb: int, G: int, interpret: bool):
+    """Build the pallas_call for a (table-structure, K, Wb, G) combination."""
+    NBITS = max(1, (Wb - 1).bit_length())
+    NB = 1 << NBITS
+    K4 = K // 4
+    P32 = [list(p32_flat[a * 4 : a * 4 + 4]) for a in range(16)]
+
+    def kernel(win_ref, rel_ref, nsym_ref, out_ref, end_ref):
+        win = [win_ref[0, j] for j in range(Wb)]
+        pad0 = win + [win[-1]] * (NB - Wb)
+        pad1 = win[1:] + [win[-1]] * (NB - Wb + 1)
+        ns = nsym_ref[0]
+
+        def sel_pair(widx):
+            """(words[widx], words[widx+1]) via LSB-first binary select tree."""
+            cur0, cur1 = pad0, pad1
+            for b in range(NBITS):
+                t = ((widx >> b) & 1) == 1
+                cur0 = [jnp.where(t, cur0[2 * i + 1], cur0[2 * i]) for i in range(len(cur0) // 2)]
+                cur1 = [jnp.where(t, cur1[2 * i + 1], cur1[2 * i]) for i in range(len(cur1) // 2)]
+            return cur0[0], cur1[0]
+
+        def perm_select(rank):
+            """perm[rank] via select tree over scalar-constant packed rows."""
+            a = rank >> 4
+            b = rank & 15
+            cur = [[jnp.uint32(P32[r][w]) for w in range(4)] for r in range(16)]
+            for bit in range(4):
+                t = ((a >> bit) & 1) == 1
+                cur = [
+                    [jnp.where(t, cur[2 * i + 1][w], cur[2 * i][w]) for w in range(4)]
+                    for i in range(len(cur) // 2)
+                ]
+            row = cur[0]
+            t0 = (b & 4) != 0
+            w01 = jnp.where(t0, row[1], row[0])
+            w23 = jnp.where(t0, row[3], row[2])
+            word = jnp.where((b & 8) != 0, w23, w01)
+            sh = ((b & 3) << 3).astype(jnp.uint32)
+            return (word >> sh) & jnp.uint32(0xFF)
+
+        off = rel_ref[0]
+        for s4 in range(K4):
+            packed = jnp.zeros((8, 128), jnp.uint32)
+            for u in range(4):
+                i = s4 * 4 + u
+                widx = off >> 5
+                sh = (off & 31).astype(jnp.uint32)
+                w0, w1 = sel_pair(widx)
+                w = (w0 << sh) | ((w1 >> jnp.uint32(1)) >> (jnp.uint32(31) - sh))
+                ln = jnp.zeros((8, 128), jnp.int32)
+                rank = jnp.zeros((8, 128), jnp.int32)
+                for (lo, hi, L, sub, bias) in intervals:
+                    if hi >= 1 << 32:
+                        ind = w >= jnp.uint32(lo)
+                    else:
+                        ind = (w >= jnp.uint32(lo)) & (w < jnp.uint32(hi))
+                    ln = ln + jnp.where(ind, jnp.int32(L), 0)
+                    rank = rank + jnp.where(
+                        ind, (w >> jnp.uint32(sub)).astype(jnp.int32) + jnp.int32(bias), 0
+                    )
+                sym = perm_select(rank)
+                active = i < ns
+                packed = packed | (
+                    jnp.where(active, sym, jnp.uint32(0)) << jnp.uint32(8 * u)
+                )
+                off = jnp.where(active, off + ln, off)
+            out_ref[s4] = packed
+        end_ref[0] = off
+
+    grid_spec = pl.GridSpec(
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, Wb, 8, 128), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((K4, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((G * K4, 8, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.jit, static_argnames=("K", "Wb", "G", "intervals", "p32_flat", "interpret"))
+def _decode_pipeline(words, base, rel, nsym, K, Wb, G, intervals, p32_flat, interpret):
+    jj = jax.lax.broadcasted_iota(jnp.int32, (1, Wb), 1)
+    win = words[base[:, None] + jj]  # fast row gather
+    win = win.reshape(G, 8, 128, Wb).transpose(0, 3, 1, 2)
+    out, end = _make_pallas_call(intervals, p32_flat, K, Wb, G, interpret)(
+        win, rel.reshape(G, 8, 128), nsym.reshape(G, 8, 128)
+    )
+    K4 = K // 4
+    out = out.reshape(G, K4, 8, 128).transpose(0, 2, 3, 1).reshape(G * LANES, K4)
+    return out, end
+
+
+def supports(table: HuffmanTable, symbols_per_block: int) -> bool:
+    """Can the Pallas fast path decode this (table, index) combination?"""
+    return (
+        symbols_per_block % 4 == 0
+        and 4 <= symbols_per_block <= 512
+        and structure_for(table) is not None
+    )
+
+
+def decode_indexed_pallas(
+    data: bytes | np.ndarray,
+    index,
+    table: HuffmanTable,
+) -> bytes:
+    """Block-parallel decode on the Pallas fast path.
+
+    Caller must check :func:`supports` first. Bit-exact with the reference
+    decoder over indexed streams (same symbols; trailing padding ignored).
+    """
+    from .bitpack import words_from_bytes_np
+
+    struct = structure_for(table)
+    assert struct is not None
+    raw = bytes(data) if isinstance(data, (bytes, bytearray)) else np.asarray(data, dtype=np.uint8).tobytes()
+    if index.total_symbols == 0:
+        return b""
+    K = index.symbols_per_block
+    words_np, _ = words_from_bytes_np(raw)
+    words_np = np.concatenate([words_np, np.zeros(2, np.uint32)])
+
+    B = index.bit_offsets.size
+    G = -(-B // LANES)
+    Bp = G * LANES
+    Wb = (K * table.max_len + 31) // 32 + 2
+    base = np.zeros(Bp, np.int32)
+    rel = np.zeros(Bp, np.int32)
+    nsym = np.zeros(Bp, np.int32)
+    off64 = index.bit_offsets.astype(np.int64)
+    base[:B] = off64 >> 5
+    rel[:B] = off64 & 31
+    nsym[:B] = index.n_symbols
+
+    out, _end = _decode_pipeline(
+        jnp.asarray(words_np), jnp.asarray(base), jnp.asarray(rel), jnp.asarray(nsym),
+        K, Wb, G, struct.intervals, tuple(x for row in struct.p32 for x in row),
+        _use_interpret(),
+    )
+    flat = (
+        np.ascontiguousarray(np.asarray(out))
+        .view(np.uint8)
+        .reshape(Bp, K)[:B]
+    )
+    if (index.n_symbols[:-1] == K).all():
+        return flat.reshape(-1)[: index.total_symbols].tobytes()
+    parts = [flat[b, : int(index.n_symbols[b])] for b in range(B)]
+    return np.concatenate(parts).tobytes()
