@@ -11,6 +11,7 @@
 #include <string>
 #include <vector>
 
+#include "tpuhuff/testing.hpp"
 #include "tpuhuff/tpuhuff.hpp"
 
 using namespace tpuhuff;
@@ -168,6 +169,15 @@ int main(int argc, char** argv) {
         test_decode_chunked(t, all, step, step);
         test_decode_chunked(t, all, step, 1);
         test_decode_chunked(t, all, 1, step);
+    }
+
+    // Shipped helper oracles (tpuhuff/testing.hpp, reference parity with
+    // source/huffman_testing.c).
+    CHECK(test_transitive(t, all.data(), all.size()).empty());
+    for (size_t step : {1, 2, 4, 8, 16, 32, 64, 128}) {
+        std::string err = test_transitive_chunked(t, all.data(), all.size(), step);
+        if (!err.empty()) std::printf("  chunked step %zu: %s\n", step, err.c_str());
+        CHECK(err.empty());
     }
 
     if (g_failures) {

@@ -239,6 +239,17 @@ class HuffmanDecoder:
         value &= (1 << total) - 1 if total else 0
         return value, total
 
+    def padding_is_all_ones(self) -> bool:
+        """HPACK-style validity check of trailing padding (RFC 7541 §5.2).
+
+        The reference leaves padding in ``working_bits`` and documents this
+        exact check as the caller's job (reference README.md:176-183); here
+        it is a method. True iff every unconsumed tail bit is 1 (also true
+        for a fully-consumed stream with no tail).
+        """
+        value, total = self.leftover_bits
+        return total < 8 and value == (1 << total) - 1
+
     def decode_chunk(self, data, capacity: int | None = None) -> DecodeResult:
         """Decode; stops after ``capacity`` symbols (done=False) or when the
         input is exhausted (done=True). Consumes all of ``data`` into
