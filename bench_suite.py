@@ -1,0 +1,247 @@
+"""Extended benchmark suite: BASELINE.md measurement configs beyond #1.
+
+Prints one JSON line per config (same schema as bench.py). Configs:
+  ascii_text   — skewed English-like corpus (stand-in for Canterbury/Silesia,
+                 which can't be fetched in this zero-egress environment)
+  table_5_30   — canonical table with code lengths spanning 5..30 bits
+                 (BASELINE config 3)
+  streaming    — chunked SHORT_BUFFER-protocol round trip, 1 MiB output
+                 chunks (BASELINE config 4, scaled to --stream-mb)
+
+Protocol per MEASURING.md: device timing first (min over reps), transfers
+and correctness checks after.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def mixed_lengths_5_30() -> dict[int, int]:
+    """256-symbol Kraft-complete length assignment spanning 5..30 bits."""
+    lens: dict[int, int] = {}
+    sym = 0
+    budget = 1.0
+    # one symbol at each length 5..29 keeps the deep end populated
+    for L in range(5, 30):
+        lens[sym] = L
+        budget -= 2.0 ** -L
+        sym += 1
+    # fill the rest at the shallow end greedily
+    remaining = 256 - sym - 1
+    L = 5
+    while remaining > 0:
+        while L < 30 and 2.0 ** -L > budget - remaining * 2.0 ** -30 + 1e-18:
+            L += 1
+        lens[sym] = L
+        budget -= 2.0 ** -L
+        sym += 1
+        remaining -= 1
+    # last symbol soaks the leftover budget exactly if possible
+    import math
+
+    L_last = max(5, min(30, round(-math.log2(budget)))) if budget > 0 else 30
+    while 2.0 ** -L_last > budget + 1e-15:
+        L_last += 1
+    lens[sym] = L_last
+    return lens
+
+
+def english_like_corpus(n: int, seed: int = 7) -> bytes:
+    rng = np.random.default_rng(seed)
+    alphabet = np.frombuffer(b" etaoinshrdlcumwfgypbvkjxqz.,;'\"!?-\n", dtype=np.uint8)
+    weights = np.array(
+        [15, 9, 7, 6, 6, 5, 5, 5, 4, 3, 3, 3, 2, 2, 2, 1.5, 1.5, 1.5, 1.5,
+         1.4, 1.2, 0.8, 0.5, 0.1, 0.1, 0.1, 0.05, 0.6, 0.5, 0.2, 0.1, 0.05,
+         0.3, 0.1, 0.1, 1.0]
+    )
+    weights = weights / weights.sum()
+    return rng.choice(alphabet, size=n, p=weights).astype(np.uint8).tobytes()
+
+
+def _min_time(fn, reps):
+    import jax
+
+    out = fn()
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn()
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return out, best
+
+
+def bench_corpus(name, data_np, table, K, reps, emit):
+    """Device encode+decode timing for one (corpus, table) pair."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_huffman.ops.bitpack import bytes_from_words_np, words_from_bytes_np
+    from tpu_huffman.ops.encode import DeviceTable, encode_block_kernel_indexed
+    from tpu_huffman.ops.pallas_decode import (
+        LANES, _decode_pipeline, _use_interpret, structure_for, supports,
+    )
+    from tpu_huffman import oracle
+
+    n = data_np.size
+    data = data_np.tobytes()
+    assert supports(table, K)
+    struct = structure_for(table)
+    p32_flat = tuple(x for row in struct.p32 for x in row)
+    dt = DeviceTable.for_table(table)
+    symbols = jnp.asarray(data_np)
+
+    def run_encode():
+        return encode_block_kernel_indexed(
+            symbols, jnp.int32(n), dt.patterns, dt.lengths,
+            jnp.uint32(0xFF), jnp.int32(0), num_out_words=n + 2, block_symbols=K,
+        )
+
+    enc_out, enc_s = _min_time(run_encode, reps)
+
+    ot = oracle.OracleTable(table)
+    encoded = oracle.OracleEncoder(ot).encode(data)
+    lens64 = table.lengths[data_np].astype(np.int64)
+    ends = np.cumsum(lens64)
+    n_blocks = -(-n // K)
+    offsets = np.zeros(n_blocks, dtype=np.int64)
+    starts_idx = np.arange(n_blocks) * K
+    offsets[1:] = ends[starts_idx[1:] - 1]
+    n_sym = np.full(n_blocks, K, dtype=np.int32)
+    n_sym[-1] = n - (n_blocks - 1) * K
+
+    words_np, _ = words_from_bytes_np(encoded)
+    words_np = np.concatenate([words_np, np.zeros(2, np.uint32)])
+    B = n_blocks
+    G = -(-B // LANES)
+    Bp = G * LANES
+    Wb = (K * table.max_len + 31) // 32 + 2
+    base = np.zeros(Bp, np.int32); rel = np.zeros(Bp, np.int32); nsm = np.zeros(Bp, np.int32)
+    base[:B] = offsets >> 5
+    rel[:B] = offsets & 31
+    nsm[:B] = n_sym
+    jw, jb, jr, jn = map(jnp.asarray, (words_np, base, rel, nsm))
+    interp = _use_interpret()
+
+    def run_decode():
+        return _decode_pipeline(jw, jb, jr, jn, K, Wb, G, struct.intervals, p32_flat, interp)
+
+    dec_out, dec_s = _min_time(run_decode, reps)
+
+    # clocks stopped: verify
+    _, d_total, d_padded = enc_out[0], enc_out[1], enc_out[2]
+    enc_bytes = bytes_from_words_np(np.asarray(enc_out[0]), int(d_padded) // 8)
+    assert enc_bytes == encoded, f"{name}: device encode != oracle"
+    flat = np.ascontiguousarray(np.asarray(dec_out[0])).view(np.uint8).reshape(Bp, K)[:B]
+    assert flat.reshape(-1)[:n].tobytes() == data, f"{name}: decode mismatch"
+
+    # oracle baseline on a quarter corpus
+    n_or = max(n // 4, 1 << 20)
+    t0 = time.perf_counter(); enc_o = oracle.OracleEncoder(ot).encode(data[:n_or]); o_enc = time.perf_counter() - t0
+    t0 = time.perf_counter(); out_o = oracle.OracleDecoder(ot).decode(enc_o); o_dec = time.perf_counter() - t0
+    assert out_o == data[:n_or]
+
+    gbps = 2 * n / (enc_s + dec_s) / 1e9 / 2
+    o_gbps = 2 * n_or / (o_enc + o_dec) / 1e9 / 2
+    emit({
+        "metric": f"codec_throughput_{name}",
+        "value": round(gbps, 4),
+        "unit": "GB/s",
+        "vs_baseline": round(gbps / o_gbps, 3),
+        "detail": {
+            "encode_gbps": round(n / enc_s / 1e9, 3),
+            "decode_gbps": round(n / dec_s / 1e9, 3),
+            "ratio": round(len(encoded) / n, 4),
+        },
+    })
+
+
+def bench_streaming(table, stream_mb, chunk_mb, emit):
+    """Chunked SHORT_BUFFER-protocol round trip (BASELINE config 4)."""
+    import tpu_huffman as th
+    from tpu_huffman import oracle
+
+    n = int(stream_mb * (1 << 20))
+    rng = np.random.default_rng(11)
+    data = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+    cap = int(chunk_mb * (1 << 20))
+
+    enc = th.HuffmanEncoder(table)
+    t0 = time.perf_counter()
+    out = []
+    pending = data
+    while True:
+        res = enc.encode_chunk(pending, cap)
+        out.append(res.data)
+        pending = pending[res.consumed:]
+        if res.done:
+            break
+    t_enc = time.perf_counter() - t0
+    encoded = b"".join(out)
+
+    dec = th.HuffmanDecoder(table)
+    t0 = time.perf_counter()
+    got = []
+    step = cap
+    for i in range(0, len(encoded), step):
+        got.append(dec.decode_chunk(encoded[i:i + step]).data)
+    t_dec = time.perf_counter() - t0
+    plain = b"".join(got)
+    assert plain == data, "streaming round-trip mismatch"
+    ot = oracle.OracleTable(table)
+    assert oracle.OracleEncoder(ot).encode(data[:1 << 20]) == th.encode(data[:1 << 20], table)
+
+    gbps = 2 * n / (t_enc + t_dec) / 1e9 / 2
+    emit({
+        "metric": "streaming_chunked_throughput",
+        "value": round(gbps, 4),
+        "unit": "GB/s",
+        "vs_baseline": None,
+        "detail": {
+            "encode_gbps": round(n / t_enc / 1e9, 3),
+            "decode_gbps": round(n / t_dec / 1e9, 3),
+            "chunks": -(-len(encoded) // cap),
+        },
+    })
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mb", type=float, default=8.0)
+    ap.add_argument("--stream-mb", type=float, default=64.0)
+    ap.add_argument("--chunk-mb", type=float, default=1.0)
+    ap.add_argument("--repeats", type=int, default=25)
+    ap.add_argument("--configs", default="ascii_text,table_5_30,streaming")
+    args = ap.parse_args()
+
+    import tpu_huffman as th
+
+    def emit(obj):
+        print(json.dumps(obj), flush=True)
+
+    configs = args.configs.split(",")
+    n = int(args.mb * (1 << 20))
+    if "ascii_text" in configs:
+        table = th.load_static_test_table()
+        corpus = np.frombuffer(english_like_corpus(n), dtype=np.uint8)
+        bench_corpus("ascii_text", corpus, table, 128, args.repeats, emit)
+    if "table_5_30" in configs:
+        t530 = th.make_canonical(mixed_lengths_5_30(), name="mixed_5_30")
+        assert t530.max_len >= 25, t530.max_len
+        rng = np.random.default_rng(3)
+        corpus = rng.integers(0, 256, size=n, dtype=np.uint8).astype(np.uint8)
+        bench_corpus("table_5_30", corpus, t530, 64, args.repeats, emit)
+    if "streaming" in configs:
+        table = th.load_static_test_table()
+        bench_streaming(table, args.stream_mb, args.chunk_mb, emit)
+
+
+if __name__ == "__main__":
+    main()

@@ -199,9 +199,37 @@ def decode(
     Raises UnknownSymbolError exactly where the reference would
     (source/huffman.c:246). Trailing padding is skipped per reference rules.
     """
+    from .. import metrics
+
+    with metrics.record("decode", len(data)) as _m:
+        out = _decode_impl(data, table, max_output)
+        _m[0] = len(out)
+    return out
+
+
+def _decode_impl(data, table, max_output):
     raw = bytes(data) if isinstance(data, (bytes, bytearray)) else np.asarray(data, dtype=np.uint8).tobytes()
     if not raw:
         return b""
+    # Large foreign streams: self-synchronizing parallel decode (Plan B)
+    # when the table qualifies; the scan state machine below is the general
+    # fallback (and the semantics reference for truncated decodes).
+    # TPU only: off-TPU the production-size kernel would go through the
+    # Pallas interpreter, which cannot trace a 212-step unrolled body in
+    # reasonable time (tests cover the fixpoint with tiny seg_words instead).
+    if max_output is None and len(raw) > 2048:
+        from . import pallas_decode, selfsync
+
+        if pallas_decode._on_tpu() and selfsync.supports(table):
+            return selfsync.selfsync_decode(raw, table)
+        if len(raw) > (1 << 20):
+            # Non-range-monotone table on a big foreign stream: the scan
+            # kernel is minutes/MB on TPU, so route to the native host codec
+            # (cpp/), which is part of this framework and bit-exact.
+            from .. import oracle
+
+            if oracle.oracle_available():
+                return oracle.oracle_decode(raw, table)
     words_np, nbytes = words_from_bytes_np(raw)
     words = jnp.concatenate(
         [jnp.asarray(words_np), jnp.zeros(2, dtype=jnp.uint32)]
@@ -244,7 +272,7 @@ def decode_indexed(
 
     # Off-TPU the kernel runs through the (slow) Pallas interpreter; keep it
     # only for small cases (correctness coverage) and use the scan path beyond.
-    small_enough = jax.default_backend() == "tpu" or (
+    small_enough = pallas_decode._on_tpu() or (
         index.total_symbols <= (1 << 14) and index.symbols_per_block <= 32
     )
     if small_enough and pallas_decode.supports(table, index.symbols_per_block):

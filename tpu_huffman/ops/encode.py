@@ -150,6 +150,15 @@ def encode(
     eos_padding: int = DEFAULT_EOS_PADDING,
 ) -> bytes:
     """One-shot encode: bytes in, reference-bit-identical compressed bytes out."""
+    from .. import metrics
+
+    with metrics.record("encode", len(data)) as _m:
+        out = _encode_impl(data, table, eos_padding)
+        _m[0] = len(out)
+    return out
+
+
+def _encode_impl(data, table, eos_padding):
     symbols = (
         np.frombuffer(bytes(data), dtype=np.uint8)
         if isinstance(data, (bytes, bytearray))

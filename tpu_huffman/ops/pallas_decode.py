@@ -120,69 +120,85 @@ def structure_for(table: HuffmanTable) -> RangeMonotone | None:
     return _STRUCT_CACHE[key]
 
 
+def _make_decode_step(win, Wb, intervals, p32_flat):
+    """Shared per-symbol machinery over a VMEM-resident Wb-word row set.
+
+    Returns ``decode_at(off) -> (sym u32, ln i32)`` where ``off`` is the
+    bit offset [8,128] into the rows; ``ln == 0`` means no code matches
+    (invalid prefix — the reference coder's bits_read==0 contract).
+    Everything is select trees + interval arithmetic: no gathers.
+    """
+    NBITS = max(1, (Wb - 1).bit_length())
+    NB = 1 << NBITS
+    P32 = [list(p32_flat[a * 4 : a * 4 + 4]) for a in range(16)]
+    pad0 = win + [win[-1]] * (NB - Wb)
+    pad1 = win[1:] + [win[-1]] * (NB - Wb + 1)
+
+    def sel_pair(widx):
+        """(words[widx], words[widx+1]) via LSB-first binary select tree."""
+        cur0, cur1 = pad0, pad1
+        for b in range(NBITS):
+            t = ((widx >> b) & 1) == 1
+            cur0 = [jnp.where(t, cur0[2 * i + 1], cur0[2 * i]) for i in range(len(cur0) // 2)]
+            cur1 = [jnp.where(t, cur1[2 * i + 1], cur1[2 * i]) for i in range(len(cur1) // 2)]
+        return cur0[0], cur1[0]
+
+    def perm_select(rank):
+        """perm[rank] via select tree over scalar-constant packed rows."""
+        a = rank >> 4
+        b = rank & 15
+        cur = [[jnp.uint32(P32[r][w]) for w in range(4)] for r in range(16)]
+        for bit in range(4):
+            t = ((a >> bit) & 1) == 1
+            cur = [
+                [jnp.where(t, cur[2 * i + 1][w], cur[2 * i][w]) for w in range(4)]
+                for i in range(len(cur) // 2)
+            ]
+        row = cur[0]
+        t0 = (b & 4) != 0
+        w01 = jnp.where(t0, row[1], row[0])
+        w23 = jnp.where(t0, row[3], row[2])
+        word = jnp.where((b & 8) != 0, w23, w01)
+        sh = ((b & 3) << 3).astype(jnp.uint32)
+        return (word >> sh) & jnp.uint32(0xFF)
+
+    def decode_at(off):
+        widx = off >> 5
+        sh = (off & 31).astype(jnp.uint32)
+        w0, w1 = sel_pair(widx)
+        w = (w0 << sh) | ((w1 >> jnp.uint32(1)) >> (jnp.uint32(31) - sh))
+        ln = jnp.zeros((8, 128), jnp.int32)
+        rank = jnp.zeros((8, 128), jnp.int32)
+        for (lo, hi, L, sub, bias) in intervals:
+            if hi >= 1 << 32:
+                ind = w >= jnp.uint32(lo)
+            else:
+                ind = (w >= jnp.uint32(lo)) & (w < jnp.uint32(hi))
+            ln = ln + jnp.where(ind, jnp.int32(L), 0)
+            rank = rank + jnp.where(
+                ind, (w >> jnp.uint32(sub)).astype(jnp.int32) + jnp.int32(bias), 0
+            )
+        return perm_select(rank), ln
+
+    return decode_at
+
+
 @functools.lru_cache(maxsize=64)
 def _make_pallas_call(intervals, p32_flat, K: int, Wb: int, G: int, interpret: bool):
     """Build the pallas_call for a (table-structure, K, Wb, G) combination."""
-    NBITS = max(1, (Wb - 1).bit_length())
-    NB = 1 << NBITS
     K4 = K // 4
-    P32 = [list(p32_flat[a * 4 : a * 4 + 4]) for a in range(16)]
 
     def kernel(win_ref, rel_ref, nsym_ref, out_ref, end_ref):
-        win = [win_ref[0, j] for j in range(Wb)]
-        pad0 = win + [win[-1]] * (NB - Wb)
-        pad1 = win[1:] + [win[-1]] * (NB - Wb + 1)
+        decode_at = _make_decode_step(
+            [win_ref[0, j] for j in range(Wb)], Wb, intervals, p32_flat
+        )
         ns = nsym_ref[0]
-
-        def sel_pair(widx):
-            """(words[widx], words[widx+1]) via LSB-first binary select tree."""
-            cur0, cur1 = pad0, pad1
-            for b in range(NBITS):
-                t = ((widx >> b) & 1) == 1
-                cur0 = [jnp.where(t, cur0[2 * i + 1], cur0[2 * i]) for i in range(len(cur0) // 2)]
-                cur1 = [jnp.where(t, cur1[2 * i + 1], cur1[2 * i]) for i in range(len(cur1) // 2)]
-            return cur0[0], cur1[0]
-
-        def perm_select(rank):
-            """perm[rank] via select tree over scalar-constant packed rows."""
-            a = rank >> 4
-            b = rank & 15
-            cur = [[jnp.uint32(P32[r][w]) for w in range(4)] for r in range(16)]
-            for bit in range(4):
-                t = ((a >> bit) & 1) == 1
-                cur = [
-                    [jnp.where(t, cur[2 * i + 1][w], cur[2 * i][w]) for w in range(4)]
-                    for i in range(len(cur) // 2)
-                ]
-            row = cur[0]
-            t0 = (b & 4) != 0
-            w01 = jnp.where(t0, row[1], row[0])
-            w23 = jnp.where(t0, row[3], row[2])
-            word = jnp.where((b & 8) != 0, w23, w01)
-            sh = ((b & 3) << 3).astype(jnp.uint32)
-            return (word >> sh) & jnp.uint32(0xFF)
-
         off = rel_ref[0]
         for s4 in range(K4):
             packed = jnp.zeros((8, 128), jnp.uint32)
             for u in range(4):
                 i = s4 * 4 + u
-                widx = off >> 5
-                sh = (off & 31).astype(jnp.uint32)
-                w0, w1 = sel_pair(widx)
-                w = (w0 << sh) | ((w1 >> jnp.uint32(1)) >> (jnp.uint32(31) - sh))
-                ln = jnp.zeros((8, 128), jnp.int32)
-                rank = jnp.zeros((8, 128), jnp.int32)
-                for (lo, hi, L, sub, bias) in intervals:
-                    if hi >= 1 << 32:
-                        ind = w >= jnp.uint32(lo)
-                    else:
-                        ind = (w >= jnp.uint32(lo)) & (w < jnp.uint32(hi))
-                    ln = ln + jnp.where(ind, jnp.int32(L), 0)
-                    rank = rank + jnp.where(
-                        ind, (w >> jnp.uint32(sub)).astype(jnp.int32) + jnp.int32(bias), 0
-                    )
-                sym = perm_select(rank)
+                sym, ln = decode_at(off)
                 active = i < ns
                 packed = packed | (
                     jnp.where(active, sym, jnp.uint32(0)) << jnp.uint32(8 * u)
@@ -212,6 +228,13 @@ def _make_pallas_call(intervals, p32_flat, K: int, Wb: int, G: int, interpret: b
         ],
         interpret=interpret,
     )
+
+
+def _on_tpu() -> bool:
+    """Dispatch seam: True when the real kernel (not the interpreter) runs.
+    Kept separate from _use_interpret so tests can force the dispatch path
+    while still executing through the interpreter."""
+    return jax.default_backend() == "tpu"
 
 
 def _use_interpret() -> bool:

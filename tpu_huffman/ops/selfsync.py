@@ -1,0 +1,282 @@
+"""Self-synchronizing parallel decode of foreign (un-indexed) streams.
+
+SURVEY.md §7 "Plan B": streams produced by other encoders (e.g. the
+reference C library) carry no block index, so the serial bit-offset chain
+must be broken another way. Prefix codes self-synchronize: a decode started
+at a wrong bit offset converges to the true codeword-boundary chain after a
+short prefix (the classic property exploited by GPU Huffman decoders).
+
+Algorithm (fixpoint over segment entry offsets):
+  1. Split the stream into fixed SEG_BITS-bit segments. Segment windows are
+     a *regular* reshape of the word stream — no gathers to build.
+  2. Every pass, all segments decode in parallel (Pallas lane-tile kernel,
+     same select-tree machinery as the indexed path) from their current
+     entry-offset estimate, recording symbols, counts, and the exit offset
+     (first codeword start >= segment end).
+  3. entry[s+1] <- exit[s]; repeat until entries stop changing. Segment 0's
+     entry is pinned at 0, so after pass k the first k+1 segments are
+     exactly right; self-synchronization makes it converge in ~2 passes in
+     practice. All passes chain on device (no host round trips).
+  4. The final segment is finished by a host-side bit loop that applies the
+     reference termination rules verbatim (need-more-input vs
+     UNKNOWN_SYMBOL vs trailing padding, reference: source/huffman.c:240-255).
+
+A lane that hits an invalid prefix mid-stream advances one bit and raises a
+poison flag; if the flag survives on the *converged* chain (>= 32 bits from
+stream end), the stream genuinely contains an unknown symbol and
+UnknownSymbolError is raised — matching the reference's error condition.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..errors import UnknownSymbolError
+from ..tables import HuffmanTable
+from .bitpack import words_from_bytes_np
+from .pallas_decode import LANES, _make_decode_step, _use_interpret, structure_for
+
+SEG_WORDS = 32                  # 1024 bits per segment
+SEG_BITS = SEG_WORDS * 32
+SEG_SLACK = 2                   # neighbor words so straddling codes resolve
+
+
+@functools.lru_cache(maxsize=32)
+def _make_selfsync_call(intervals, p32_flat, max_syms: int, G: int, interpret: bool,
+                        seg_words: int = SEG_WORDS):
+    Wb = seg_words + SEG_SLACK
+    K4 = -(-max_syms // 4)
+
+    def kernel(win_ref, entry_ref, out_ref, exit_ref, bad_ref):
+        decode_at = _make_decode_step(
+            [win_ref[0, j] for j in range(Wb)], Wb, intervals, p32_flat
+        )
+        off = entry_ref[0]
+        bad = jnp.zeros((8, 128), jnp.int32)
+        seg_end = jnp.int32(seg_words * 32)
+        for s4 in range(K4):
+            packed = jnp.zeros((8, 128), jnp.uint32)
+            for u in range(4):
+                sym, ln = decode_at(off)
+                active = off < seg_end
+                invalid = active & (ln == 0)
+                # poison: remember the first invalid bit offset
+                bad = jnp.where((bad == 0) & invalid, off + 1, bad)
+                step = jnp.where(invalid, 1, ln)
+                packed = packed | (
+                    jnp.where(active, sym, jnp.uint32(0)) << jnp.uint32(8 * u)
+                )
+                off = jnp.where(active, off + step, off)
+            out_ref[s4] = packed
+        exit_ref[0] = off
+        bad_ref[0] = bad
+
+    grid_spec = pl.GridSpec(
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, Wb, 8, 128), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((K4, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((G * K4, 8, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
+        ],
+    interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "S", "G", "max_syms", "passes", "intervals", "p32_flat", "interpret", "seg_words",
+    ),
+)
+def _selfsync_passes(win, S, G, max_syms, passes, intervals, p32_flat, interpret,
+                     seg_words=SEG_WORDS):
+    """Run `passes` fixpoint iterations fully on device.
+
+    win: [G*LANES, Wb, ...] staged windows (padding segments decode garbage
+    harmlessly: their entries never feed a real segment).
+    Returns (syms_packed, counts-exits, bad, converged_flag).
+    """
+    call = _make_selfsync_call(intervals, p32_flat, max_syms, G, interpret, seg_words)
+    Bp = G * LANES
+    seg_idx = jnp.arange(Bp, dtype=jnp.int32)
+
+    entries = jnp.zeros(Bp, jnp.int32)  # pass 0: segment-aligned starts
+
+    def one_pass(entries):
+        out, exits, bad = call(
+            win, entries.reshape(G, 8, 128)
+        )
+        exits = exits.reshape(-1)
+        # entry[s+1] = exit[s] - SEG_BITS (exit is relative to segment s's
+        # window; segment s+1's window starts SEG_BITS later).
+        new = jnp.concatenate([jnp.zeros(1, jnp.int32), exits[:-1] - seg_words * 32])
+        # only real segments matter; keep padding entries at 0
+        new = jnp.where(seg_idx < S, new, 0)
+        return new, (out, exits, bad.reshape(-1))
+
+    converged = jnp.bool_(False)
+    outs = None
+    for _ in range(passes):
+        new_entries, outs = one_pass(entries)
+        converged = jnp.all(new_entries == entries)
+        entries = new_entries
+    return outs[0], outs[1], outs[2], converged, entries
+
+
+def _decode_tail_host(table, stream_bits_value, nbits):
+    """Decode the final partial segment with exact reference termination.
+
+    stream_bits_value: int holding the remaining bits MSB-first; nbits: its
+    length. Mirrors source/huffman.c:230-281 for the tail of a one-shot call.
+    Returns (symbols bytearray) or raises UnknownSymbolError.
+    """
+    out = bytearray()
+    pos = 0
+    while True:
+        left = nbits - pos
+        if left <= 0:
+            return out
+        frag = stream_bits_value & ((1 << left) - 1)  # bits from pos onward
+        if left >= 32:
+            window = frag >> (left - 32)
+        else:
+            window = (frag << (32 - left)) & 0xFFFFFFFF
+        sym, bits_read = table.decode_window(window)
+        if bits_read == 0:
+            if left < 32:
+                return out  # need more input / done (huffman.c:240-244)
+            raise UnknownSymbolError()  # huffman.c:246
+        if bits_read > left:
+            return out  # trailing padding (huffman.c:248-255)
+        out.append(sym)
+        pos += bits_read
+
+
+def supports(table: HuffmanTable) -> bool:
+    return structure_for(table) is not None and table.max_len <= SEG_SLACK * 32
+
+
+def selfsync_decode(data: bytes | np.ndarray, table: HuffmanTable,
+                    seg_words: int = SEG_WORDS) -> bytes:
+    """Parallel decode of a foreign stream; bit-exact with the reference.
+
+    Caller should check :func:`supports`. Falls back internally to more
+    fixpoint passes if self-synchronization is slow; worst case degrades to
+    S passes (pathological streams), still correct.
+    """
+    struct = structure_for(table)
+    assert struct is not None
+    raw = bytes(data) if isinstance(data, (bytes, bytearray)) else np.asarray(
+        data, dtype=np.uint8
+    ).tobytes()
+    if not raw:
+        return b""
+    seg_bits = seg_words * 32
+    total_bits = len(raw) * 8
+    # Small streams: the host bit loop is cheaper than a kernel launch.
+    if total_bits <= 4 * seg_bits:
+        value = int.from_bytes(raw, "big")
+        return bytes(_decode_tail_host(table, value, total_bits))
+
+    words_np, _ = words_from_bytes_np(raw)
+    # Full segments exclude the stream tail: the last (possibly partial)
+    # segment plus one guard segment are finished on host with exact
+    # termination rules.
+    S_total = -(-total_bits // seg_bits)
+    S = S_total - 1 if total_bits % seg_bits else S_total
+    S -= 1  # guard segment before the tail
+    if S <= 0:
+        value = int.from_bytes(raw, "big")
+        return bytes(_decode_tail_host(table, value, total_bits))
+
+    G = -(-S // LANES)
+    Bp = G * LANES
+    Wb = seg_words + SEG_SLACK
+    need_words = Bp * seg_words + Wb
+    padded = np.zeros(need_words, np.uint32)
+    padded[: min(words_np.size, need_words)] = words_np[:need_words]
+    # Regular window layout: win[s] = words[s*seg_words : s*seg_words+Wb]
+    strided = np.lib.stride_tricks.as_strided(
+        padded, shape=(Bp, Wb), strides=(4 * seg_words, 4)
+    )
+    win = np.ascontiguousarray(strided).reshape(G, 8, 128, Wb).transpose(0, 3, 1, 2)
+    win = np.ascontiguousarray(win)
+
+    interp = _use_interpret()
+    p32_flat = tuple(x for row in struct.p32 for x in row)
+    min_len = max(int(table.min_len), 1)
+    max_syms = (seg_bits + table.max_len) // min_len + 1
+    max_syms = -(-max_syms // 4) * 4
+
+    jwin = jnp.asarray(win)
+    passes = 2
+    while True:
+        out, exits, bad, converged, entries = _selfsync_passes(
+            jwin, S, G, max_syms, passes, struct.intervals, p32_flat, interp, seg_words
+        )
+        if bool(converged):
+            break
+        passes = min(passes * 2, S + 1)
+        if passes > S:
+            # Pathological stream: no convergence — sequential host decode.
+            value = int.from_bytes(raw, "big")
+            return bytes(_decode_tail_host(table, value, total_bits))
+
+    entries_np = np.asarray(entries)[:S]
+    exits_np = np.asarray(exits)[:S]
+    bad_np = np.asarray(bad)[:S]
+    # Unknown symbol on the converged chain? Reference raises only with
+    # >= 32 bits left (huffman.c:246); all these segments are mid-stream.
+    if (bad_np != 0).any():
+        raise UnknownSymbolError()
+
+    K4 = -(-max_syms // 4)
+    syms = (
+        np.ascontiguousarray(
+            np.asarray(out).reshape(G, K4, 8, 128).transpose(0, 2, 3, 1).reshape(Bp, K4)
+        )
+        .view(np.uint8)
+        .reshape(Bp, 4 * K4)[:S]
+    )
+    # Symbol counts: codes starting in [entry, SEG_BITS) — count = number of
+    # active steps. Derive from lengths: we know entry and exit, and each
+    # emitted symbol advanced by its code length; count isn't directly
+    # stored, so reconstruct by decoding lengths? No: active steps emitted
+    # exactly the symbols whose start < SEG_BITS. Count = index of first
+    # inactive step = number of symbols with cumulative offset < SEG_BITS.
+    # We recover it by re-walking lengths on host — cheap alternative:
+    # count the symbols via the lengths table.
+    counts = np.empty(S, dtype=np.int64)
+    lens_of = table.lengths[syms]  # [S, max_syms] code length per emitted sym
+    starts = np.cumsum(lens_of, axis=1) - lens_of + entries_np[:, None]
+    counts = (starts < seg_bits).sum(axis=1)
+
+    mask = np.arange(syms.shape[1])[None, :] < counts[:, None]
+    body = syms[mask]
+
+    # Tail: everything from the last full segment's exit onward.
+    tail_start_bit = S * seg_bits + int(exits_np[-1]) - seg_bits
+    value = int.from_bytes(raw, "big")
+    left = total_bits - tail_start_bit
+    tail_value = value & ((1 << left) - 1)
+    tail = _decode_tail_host(table, tail_value, left)
+    return body.tobytes() + bytes(tail)
