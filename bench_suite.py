@@ -173,6 +173,23 @@ def bench_streaming(table, stream_mb, chunk_mb, emit):
     data = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
     cap = int(chunk_mb * (1 << 20))
 
+    # Warmup: run the protocol once over a short prefix so kernel compiles
+    # (encoder pack kernel, self-sync decode pipeline) are excluded from the
+    # steady-state timing below.
+    warm_enc = th.HuffmanEncoder(table)
+    pending = data[: 2 * cap]
+    blob = b""
+    while True:
+        r = warm_enc.encode_chunk(pending, cap)
+        blob += r.data
+        pending = pending[r.consumed:]
+        if r.done:
+            break
+    # decode warmup at the same chunk size the timed loop uses
+    wd = th.HuffmanDecoder(table)
+    wd.decode_chunk(blob[:cap])
+    wd.decode_chunk(blob[cap:])
+
     enc = th.HuffmanEncoder(table)
     t0 = time.perf_counter()
     out = []
@@ -221,24 +238,49 @@ def main():
     ap.add_argument("--configs", default="ascii_text,table_5_30,streaming")
     args = ap.parse_args()
 
+    configs = args.configs.split(",")
+    if len(configs) > 1:
+        # One subprocess per config: a D2H transfer permanently degrades a
+        # process's dispatch latency (MEASURING.md), so each config's timing
+        # must run in a fresh process.
+        import subprocess
+
+        for c in configs:
+            sub = subprocess.run(
+                [sys.executable, __file__, "--configs", c,
+                 "--mb", str(args.mb), "--stream-mb", str(args.stream_mb),
+                 "--chunk-mb", str(args.chunk_mb), "--repeats", str(args.repeats)],
+                capture_output=True, text=True,
+            )
+            sys.stdout.write(sub.stdout)
+            sys.stdout.flush()
+            if sub.returncode:
+                sys.stderr.write(sub.stderr)
+        return
+
     import tpu_huffman as th
 
     def emit(obj):
         print(json.dumps(obj), flush=True)
 
-    configs = args.configs.split(",")
+    config = configs[0]
     n = int(args.mb * (1 << 20))
-    if "ascii_text" in configs:
+    if config == "ascii_text":
         table = th.load_static_test_table()
         corpus = np.frombuffer(english_like_corpus(n), dtype=np.uint8)
         bench_corpus("ascii_text", corpus, table, 128, args.repeats, emit)
-    if "table_5_30" in configs:
+    elif config == "table_5_30":
         t530 = th.make_canonical(mixed_lengths_5_30(), name="mixed_5_30")
         assert t530.max_len >= 25, t530.max_len
+        # Corpus matched to the table (short codes frequent), the realistic
+        # use of a custom table; geometric-ish weights over code length.
         rng = np.random.default_rng(3)
-        corpus = rng.integers(0, 256, size=n, dtype=np.uint8).astype(np.uint8)
+        lens = t530.lengths.astype(np.float64)
+        w = np.where(lens > 0, 2.0 ** -lens, 0.0)
+        w = w / w.sum()
+        corpus = rng.choice(256, size=n, p=w).astype(np.uint8)
         bench_corpus("table_5_30", corpus, t530, 64, args.repeats, emit)
-    if "streaming" in configs:
+    elif config == "streaming":
         table = th.load_static_test_table()
         bench_streaming(table, args.stream_mb, args.chunk_mb, emit)
 

@@ -31,8 +31,9 @@ def test_tail_host_decoder_matches_reference_rules(table):
     for payload in (b"a", b"cdfh", b"hello world"):
         enc = th.encode(payload, table)
         value = int.from_bytes(enc, "big")
-        out = selfsync._decode_tail_host(table, value, len(enc) * 8)
+        out, pos = selfsync._decode_tail_host(table, value, len(enc) * 8)
         assert bytes(out) == payload
+        assert pos <= len(enc) * 8
 
 
 def test_unknown_symbol_raises(table):
@@ -62,6 +63,46 @@ def test_kernel_path_text_corpus(table):
     data = (b"the quick brown fox jumps over the lazy dog. " * 40)[:1600]
     enc = th.encode(data, table)
     assert selfsync.selfsync_decode(enc, table, seg_words=4) == data
+
+
+def test_chunk_resume_mid_stream(table):
+    """selfsync_decode_ex across an arbitrary split == full decode."""
+    rng = np.random.default_rng(2)
+    data = rng.integers(0, 256, size=1800, dtype=np.uint8).tobytes()
+    enc = th.encode(data, table)
+    for cut in (700, 701, 1111):
+        out1, end1 = selfsync.selfsync_decode_ex(enc[:cut], table, seg_words=4)
+        rem = enc[end1 // 8 : cut]
+        out2, _ = selfsync.selfsync_decode_ex(
+            rem + enc[cut:], table, seg_words=4, start_bit=end1 % 8
+        )
+        assert out1 + out2 == data, cut
+
+
+def test_streaming_decoder_bulk_path(table, monkeypatch):
+    """HuffmanDecoder.decode_chunk rides selfsync for big chunks."""
+    from tpu_huffman import stream as stream_mod
+    from tpu_huffman.ops import pallas_decode
+
+    monkeypatch.setattr(pallas_decode, "_on_tpu", lambda: True)
+    monkeypatch.setattr(stream_mod, "BULK_DECODE_THRESHOLD", 256)
+    orig = selfsync.selfsync_decode_ex
+    called = {}
+
+    def spy(raw, tab, seg_words=selfsync.SEG_WORDS, start_bit=0):
+        called["yes"] = True
+        return orig(raw, tab, seg_words=4, start_bit=start_bit)
+
+    monkeypatch.setattr(selfsync, "selfsync_decode_ex", spy)
+    rng = np.random.default_rng(8)
+    data = rng.integers(0, 256, size=3000, dtype=np.uint8).tobytes()
+    enc = th.encode(data, table)
+    dec = th.HuffmanDecoder(table)
+    mid = len(enc) // 2
+    out = dec.decode_chunk(enc[:mid]).data
+    out += dec.decode_chunk(enc[mid:]).data
+    assert out == data
+    assert called.get("yes")
 
 
 def test_decode_dispatches_to_selfsync(table, monkeypatch):

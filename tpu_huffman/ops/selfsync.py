@@ -104,42 +104,59 @@ def _make_selfsync_call(intervals, p32_flat, max_syms: int, G: int, interpret: b
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "S", "G", "max_syms", "passes", "intervals", "p32_flat", "interpret", "seg_words",
+        "G", "max_syms", "passes", "intervals", "p32_flat", "interpret", "seg_words",
     ),
 )
 def _selfsync_passes(win, S, G, max_syms, passes, intervals, p32_flat, interpret,
-                     seg_words=SEG_WORDS):
-    """Run `passes` fixpoint iterations fully on device.
+                     seg_words=SEG_WORDS, entry0=0):
+    """Fixpoint iterations fully on device, dynamic pass count.
+
+    A `lax.while_loop` drives the Pallas call until the entry offsets stop
+    changing or `passes` iterations elapse — ONE compile regardless of how
+    many passes a stream needs (self-sync usually converges in 2-3).
 
     win: [G*LANES, Wb, ...] staged windows (padding segments decode garbage
     harmlessly: their entries never feed a real segment).
-    Returns (syms_packed, counts-exits, bad, converged_flag).
+    Returns (syms_packed, exits, bad, converged_flag, entries).
     """
     call = _make_selfsync_call(intervals, p32_flat, max_syms, G, interpret, seg_words)
     Bp = G * LANES
+    K4 = -(-max_syms // 4)
     seg_idx = jnp.arange(Bp, dtype=jnp.int32)
 
-    entries = jnp.zeros(Bp, jnp.int32)  # pass 0: segment-aligned starts
+    e0 = jnp.int32(entry0)
+    entries0 = jnp.where(seg_idx == 0, e0, 0)  # pass 0: segment-aligned starts
 
     def one_pass(entries):
-        out, exits, bad = call(
-            win, entries.reshape(G, 8, 128)
-        )
+        out, exits, bad = call(win, entries.reshape(G, 8, 128))
         exits = exits.reshape(-1)
-        # entry[s+1] = exit[s] - SEG_BITS (exit is relative to segment s's
-        # window; segment s+1's window starts SEG_BITS later).
-        new = jnp.concatenate([jnp.zeros(1, jnp.int32), exits[:-1] - seg_words * 32])
+        # entry[s+1] = exit[s] - seg_bits (exit is relative to segment s's
+        # window; segment s+1's window starts seg_bits later).
+        new = jnp.concatenate([e0[None], exits[:-1] - seg_words * 32])
         # only real segments matter; keep padding entries at 0
         new = jnp.where(seg_idx < S, new, 0)
-        return new, (out, exits, bad.reshape(-1))
+        return new, out, exits, bad.reshape(-1)
 
-    converged = jnp.bool_(False)
-    outs = None
-    for _ in range(passes):
-        new_entries, outs = one_pass(entries)
-        converged = jnp.all(new_entries == entries)
-        entries = new_entries
-    return outs[0], outs[1], outs[2], converged, entries
+    def cond(carry):
+        i, converged, *_ = carry
+        return (~converged) & (i < passes)
+
+    def body(carry):
+        i, _, entries, _, _, _ = carry
+        new, out, exits, bad = one_pass(entries)
+        converged = jnp.all(new == entries)
+        return (i + 1, converged, new, out, exits, bad)
+
+    init = (
+        jnp.int32(0),
+        jnp.bool_(False),
+        entries0,
+        jnp.zeros((G * K4, 8, 128), jnp.uint32),
+        jnp.zeros(Bp, jnp.int32),
+        jnp.zeros(Bp, jnp.int32),
+    )
+    _, converged, entries, out, exits, bad = jax.lax.while_loop(cond, body, init)
+    return out, exits, bad, converged, entries
 
 
 def _decode_tail_host(table, stream_bits_value, nbits):
@@ -154,7 +171,7 @@ def _decode_tail_host(table, stream_bits_value, nbits):
     while True:
         left = nbits - pos
         if left <= 0:
-            return out
+            return out, pos
         frag = stream_bits_value & ((1 << left) - 1)  # bits from pos onward
         if left >= 32:
             window = frag >> (left - 32)
@@ -163,10 +180,10 @@ def _decode_tail_host(table, stream_bits_value, nbits):
         sym, bits_read = table.decode_window(window)
         if bits_read == 0:
             if left < 32:
-                return out  # need more input / done (huffman.c:240-244)
+                return out, pos  # need more input / done (huffman.c:240-244)
             raise UnknownSymbolError()  # huffman.c:246
         if bits_read > left:
-            return out  # trailing padding (huffman.c:248-255)
+            return out, pos  # trailing padding / partial code (huffman.c:248-255)
         out.append(sym)
         pos += bits_read
 
@@ -177,7 +194,23 @@ def supports(table: HuffmanTable) -> bool:
 
 def selfsync_decode(data: bytes | np.ndarray, table: HuffmanTable,
                     seg_words: int = SEG_WORDS) -> bytes:
-    """Parallel decode of a foreign stream; bit-exact with the reference.
+    """Parallel decode of a foreign stream; bit-exact with the reference."""
+    return selfsync_decode_ex(data, table, seg_words)[0]
+
+
+def selfsync_decode_ex(
+    data: bytes | np.ndarray,
+    table: HuffmanTable,
+    seg_words: int = SEG_WORDS,
+    start_bit: int = 0,
+) -> tuple[bytes, int]:
+    """Parallel decode returning (symbols, end_bit).
+
+    ``end_bit`` is the absolute bit offset where decoding stopped: the start
+    of the first code that does not complete within the input (mid-stream
+    chunking) or the start of trailing padding (stream end) — exactly the
+    resume point the reference decoder's window state encodes. ``start_bit``
+    (< 8) lets a streaming caller resume mid-byte.
 
     Caller should check :func:`supports`. Falls back internally to more
     fixpoint passes if self-synchronization is slow; worst case degrades to
@@ -185,17 +218,23 @@ def selfsync_decode(data: bytes | np.ndarray, table: HuffmanTable,
     """
     struct = structure_for(table)
     assert struct is not None
+    assert 0 <= start_bit < 8
     raw = bytes(data) if isinstance(data, (bytes, bytearray)) else np.asarray(
         data, dtype=np.uint8
     ).tobytes()
-    if not raw:
-        return b""
+    if not raw or len(raw) * 8 <= start_bit:
+        return b"", start_bit
     seg_bits = seg_words * 32
     total_bits = len(raw) * 8
+
+    def host_all():
+        value = int.from_bytes(raw, "big") & ((1 << (total_bits - start_bit)) - 1)
+        out, pos = _decode_tail_host(table, value, total_bits - start_bit)
+        return bytes(out), start_bit + pos
+
     # Small streams: the host bit loop is cheaper than a kernel launch.
     if total_bits <= 4 * seg_bits:
-        value = int.from_bytes(raw, "big")
-        return bytes(_decode_tail_host(table, value, total_bits))
+        return host_all()
 
     words_np, _ = words_from_bytes_np(raw)
     # Full segments exclude the stream tail: the last (possibly partial)
@@ -205,10 +244,16 @@ def selfsync_decode(data: bytes | np.ndarray, table: HuffmanTable,
     S = S_total - 1 if total_bits % seg_bits else S_total
     S -= 1  # guard segment before the tail
     if S <= 0:
-        value = int.from_bytes(raw, "big")
-        return bytes(_decode_tail_host(table, value, total_bits))
+        return host_all()
 
+    # Bucket the grid to powers of two (floor 16 on hardware) so chunked
+    # callers with varying stream sizes reuse one compiled pipeline per
+    # bucket (S is traced; padding lanes decode garbage harmlessly).
+    interp = _use_interpret()
     G = -(-S // LANES)
+    G = 1 << (G - 1).bit_length() if G > 1 else 1
+    if not interp:
+        G = max(G, 16)
     Bp = G * LANES
     Wb = seg_words + SEG_SLACK
     need_words = Bp * seg_words + Wb
@@ -221,25 +266,20 @@ def selfsync_decode(data: bytes | np.ndarray, table: HuffmanTable,
     win = np.ascontiguousarray(strided).reshape(G, 8, 128, Wb).transpose(0, 3, 1, 2)
     win = np.ascontiguousarray(win)
 
-    interp = _use_interpret()
     p32_flat = tuple(x for row in struct.p32 for x in row)
     min_len = max(int(table.min_len), 1)
     max_syms = (seg_bits + table.max_len) // min_len + 1
     max_syms = -(-max_syms // 4) * 4
 
     jwin = jnp.asarray(win)
-    passes = 2
-    while True:
-        out, exits, bad, converged, entries = _selfsync_passes(
-            jwin, S, G, max_syms, passes, struct.intervals, p32_flat, interp, seg_words
-        )
-        if bool(converged):
-            break
-        passes = min(passes * 2, S + 1)
-        if passes > S:
-            # Pathological stream: no convergence — sequential host decode.
-            value = int.from_bytes(raw, "big")
-            return bytes(_decode_tail_host(table, value, total_bits))
+    # The while_loop inside stops as soon as entries converge (usually 2-3
+    # passes); Bp+1 is the worst-case bound (degenerates to sequential).
+    out, exits, bad, converged, entries = _selfsync_passes(
+        jwin, S, G, max_syms, Bp + 1, struct.intervals, p32_flat, interp,
+        seg_words, start_bit,
+    )
+    if not bool(converged):  # can't happen within S+1 passes, but be safe
+        return host_all()
 
     entries_np = np.asarray(entries)[:S]
     exits_np = np.asarray(exits)[:S]
@@ -265,7 +305,6 @@ def selfsync_decode(data: bytes | np.ndarray, table: HuffmanTable,
     # inactive step = number of symbols with cumulative offset < SEG_BITS.
     # We recover it by re-walking lengths on host — cheap alternative:
     # count the symbols via the lengths table.
-    counts = np.empty(S, dtype=np.int64)
     lens_of = table.lengths[syms]  # [S, max_syms] code length per emitted sym
     starts = np.cumsum(lens_of, axis=1) - lens_of + entries_np[:, None]
     counts = (starts < seg_bits).sum(axis=1)
@@ -278,5 +317,5 @@ def selfsync_decode(data: bytes | np.ndarray, table: HuffmanTable,
     value = int.from_bytes(raw, "big")
     left = total_bits - tail_start_bit
     tail_value = value & ((1 << left) - 1)
-    tail = _decode_tail_host(table, tail_value, left)
-    return body.tobytes() + bytes(tail)
+    tail, pos = _decode_tail_host(table, tail_value, left)
+    return body.tobytes() + bytes(tail), tail_start_bit + pos

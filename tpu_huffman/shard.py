@@ -284,24 +284,26 @@ class MeshCodec:
 
         rel_offsets = np.zeros((ndev, bpd), dtype=np.int32)
         n_sym = np.zeros((ndev, bpd), dtype=np.int32)
-        for s in range(ndev):
-            for j in range(bpd):
-                b = s * bpd + j
-                if b < B:
-                    rel_offsets[s, j] = int(index.bit_offsets[b]) - 32 * int(word_base[s])
-                    n_sym[s, j] = int(index.n_symbols[b])
+        b_idx = np.arange(B)
+        s_of_b = b_idx // bpd
+        rel_offsets.reshape(-1)[:B] = (
+            index.bit_offsets.astype(np.int64) - 32 * word_base[s_of_b]
+        ).astype(np.int32)
+        n_sym.reshape(-1)[:B] = index.n_symbols
 
         syms = self._decode_sharded(
             jnp.asarray(win).reshape(-1),
             jnp.asarray(rel_offsets).reshape(-1),
             jnp.asarray(n_sym).reshape(-1),
         )
-        out = np.asarray(syms).reshape(ndev * bpd, self.block_symbols)
-        # Blocks are full except the last; flatten then cut.
-        parts = []
-        for b in range(B):
-            parts.append(out[b, : int(index.n_symbols[b])])
-        return np.concatenate(parts).tobytes()
+        out = np.asarray(syms).reshape(ndev * bpd, self.block_symbols)[:B]
+        if (index.n_symbols[:-1] == self.block_symbols).all():
+            # Blocks are full except possibly the last: flatten then cut.
+            return out.reshape(-1)[: index.total_symbols].tobytes()
+        mask = (
+            np.arange(self.block_symbols)[None, :] < index.n_symbols[:, None]
+        )
+        return out[mask].tobytes()
 
 
 def _shard_decode_body(win, rel_offsets, n_sym, l0_bits, l0_val, l1_bits, l1_val,

@@ -47,6 +47,10 @@ from .ops.encode import (
 from .tables import HuffmanTable
 
 
+# Chunks above this byte count take the self-sync bulk path on TPU.
+BULK_DECODE_THRESHOLD = 65536
+
+
 @dataclasses.dataclass
 class EncodeResult:
     data: bytes  # bytes produced by this call (always complete bytes)
@@ -260,6 +264,20 @@ class HuffmanDecoder:
         total_bits = stream.size * 8
         if total_bits - start_bit <= 0:
             return DecodeResult(b"", True)
+
+        # Bulk fast path: unbounded-capacity chunks ride the self-sync
+        # parallel kernel on TPU (the scan kernel below compiles one step per
+        # potential symbol — unusable at MB chunk sizes).
+        if capacity is None and stream.size > BULK_DECODE_THRESHOLD:
+            from .ops import pallas_decode, selfsync
+
+            if pallas_decode._on_tpu() and selfsync.supports(self.table):
+                out, end = selfsync.selfsync_decode_ex(
+                    stream.tobytes(), self.table, start_bit=start_bit
+                )
+                self._rem = stream[end // 8 :].copy()
+                self._rem_start_bit = end % 8
+                return DecodeResult(out, True)
 
         words_np, _ = words_from_bytes_np(stream)
         words = jnp.concatenate([jnp.asarray(words_np), jnp.zeros(2, dtype=jnp.uint32)])
