@@ -296,7 +296,15 @@ class MeshCodec:
             jnp.asarray(rel_offsets).reshape(-1),
             jnp.asarray(n_sym).reshape(-1),
         )
-        out = np.asarray(syms).reshape(ndev * bpd, self.block_symbols)[:B]
+        if jax.process_count() > 1:
+            # Sharded output isn't fully addressable per process: gather the
+            # global value (DCN collective) so every host returns the stream.
+            from jax.experimental import multihost_utils
+
+            syms_np = multihost_utils.process_allgather(syms, tiled=True)
+        else:
+            syms_np = np.asarray(syms)
+        out = syms_np.reshape(ndev * bpd, self.block_symbols)[:B]
         if (index.n_symbols[:-1] == self.block_symbols).all():
             # Blocks are full except possibly the last: flatten then cut.
             return out.reshape(-1)[: index.total_symbols].tobytes()
