@@ -124,6 +124,13 @@ class HuffmanEncoder:
         """
         symbols = _as_u8(data)
         n = symbols.size
+        if capacity is not None:
+            # Only ceil(8*capacity / min_len) symbols can fit; bound the
+            # host prefix-sum to O(chunk) instead of O(remaining stream).
+            limit = (8 * int(capacity)) // max(self.table.min_len, 1) + 2
+            if n > limit:
+                symbols = symbols[:limit]
+                n = limit
         lens = self.table.lengths[symbols].astype(np.int64)
         bad = np.flatnonzero(lens == 0)
         if bad.size:
