@@ -61,6 +61,14 @@ def test_mesh_empty(table):
     assert mc.decode(enc, idx) == b""
 
 
+def test_mesh_eos_padding(table):
+    data = b"a"  # partial final byte guaranteed (5-10 bit code)
+    for pad in (0x00, 0x5A, 0xFF):
+        mc = MeshCodec(table, default_mesh(), block_symbols=256, eos_padding=pad)
+        enc, _ = mc.encode(data)
+        assert enc == th.encode(data, table, eos_padding=pad), hex(pad)
+
+
 def test_mesh_unknown_symbol(table):
     sparse = th.make_canonical({65: 1, 66: 1}, name="ab")
     mc = MeshCodec(sparse, default_mesh(), block_symbols=256)

@@ -136,6 +136,7 @@ class MeshCodec:
     table: HuffmanTable
     mesh: Mesh
     block_symbols: int = 4096  # BlockIndex granularity for decode striping
+    eos_padding: int = DEFAULT_EOS_PADDING  # reference: huffman.h:66
 
     def __post_init__(self):
         self._dt = DeviceTable.for_table(self.table)
@@ -224,7 +225,7 @@ class MeshCodec:
         tail = total_bits & 7
         if tail:
             pad = 8 - tail
-            out[-1] |= DEFAULT_EOS_PADDING & ((1 << pad) - 1)
+            out[-1] |= self.eos_padding & ((1 << pad) - 1)
         if not with_index:
             return bytes(out), None
 
