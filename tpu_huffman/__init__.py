@@ -32,7 +32,14 @@ from .ops import (
 )
 from .shard import MeshCodec, default_mesh
 from .stream import DecodeResult, EncodeResult, HuffmanDecoder, HuffmanEncoder
-from .tables import CodeSpec, HuffmanTable, load_static_test_table, make_canonical
+from .tables import (
+    CodeSpec,
+    HuffmanTable,
+    build_table,
+    load_static_test_table,
+    make_canonical,
+    optimal_code_lengths,
+)
 
 __version__ = "0.1.0"
 
@@ -72,6 +79,7 @@ __all__ = [
     "ShortBufferError",
     "TableError",
     "UnknownSymbolError",
+    "build_table",
     "decode",
     "decode_indexed",
     "default_mesh",
@@ -83,4 +91,5 @@ __all__ = [
     "library_is_initialized",
     "load_static_test_table",
     "make_canonical",
+    "optimal_code_lengths",
 ]

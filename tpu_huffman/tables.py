@@ -337,6 +337,105 @@ def make_canonical(
     return HuffmanTable.from_specs(specs, name=name)
 
 
+def optimal_code_lengths(
+    freqs: Sequence[int] | np.ndarray, max_len: int = MAX_CODE_BITS
+) -> np.ndarray:
+    """Optimal length-limited prefix-code lengths via package-merge.
+
+    The reference leaves table construction to external tools (its generator
+    only *consumes* `.def` files); this provides the construction step:
+    given symbol frequencies, produce code lengths minimizing the encoded
+    size subject to ``max_len``, ready for :func:`make_canonical`.
+
+    Returns int32[256] lengths (0 for zero-frequency symbols). Raises
+    TableError when the alphabet can't fit in ``max_len`` bits.
+    """
+    f = np.zeros(NUM_SYMBOLS, dtype=np.int64)
+    fin = np.asarray(freqs, dtype=np.int64)
+    f[: fin.size] = fin
+    active = np.flatnonzero(f > 0)
+    n = active.size
+    if n == 0:
+        raise TableError("no symbols with nonzero frequency")
+    if n == 1:
+        lens = np.zeros(NUM_SYMBOLS, dtype=np.int32)
+        lens[active[0]] = 1
+        return lens
+    if (1 << max_len) < n:
+        raise TableError(f"{n} symbols cannot fit in {max_len}-bit codes")
+
+    # Package-merge: level l holds items of width 2^-l; merging adjacent
+    # pairs of level-(l) items makes level-(l-1) packages. Each item tracks
+    # how many times each leaf participates; a leaf's final code length is
+    # its participation count across the selected 2n-2 items of level 1.
+    leaves = sorted((int(f[s]), s) for s in active)
+    leaf_weights = [w for w, _ in leaves]
+    leaf_syms = [s for _, s in leaves]
+
+    def merge_level(packages):
+        """Merge leaf items with packages (both sorted by weight)."""
+        items = []
+        i = j = 0
+        while i < n or j < len(packages):
+            take_leaf = j >= len(packages) or (
+                i < n and leaf_weights[i] <= packages[j][0]
+            )
+            if take_leaf:
+                cnt = np.zeros(n, dtype=np.int32)
+                cnt[i] = 1
+                items.append((leaf_weights[i], cnt))
+                i += 1
+            else:
+                items.append(packages[j])
+                j += 1
+        return items
+
+    packages: list = []
+    for _ in range(max_len):
+        items = merge_level(packages)
+        # package adjacent pairs for the next (shallower) level
+        packages = [
+            (items[2 * k][0] + items[2 * k + 1][0],
+             items[2 * k][1] + items[2 * k + 1][1])
+            for k in range(len(items) // 2)
+        ]
+    # top level: the cheapest 2n-2 items' leaf-participation counts are the
+    # code lengths
+    counts = np.zeros(n, dtype=np.int32)
+    for w, cnt in items[: 2 * n - 2]:
+        counts += cnt
+    lens = np.zeros(NUM_SYMBOLS, dtype=np.int32)
+    for k in range(n):
+        lens[leaf_syms[k]] = int(counts[k])
+    return lens
+
+
+def build_table(
+    data: bytes | np.ndarray | None = None,
+    freqs: Sequence[int] | np.ndarray | None = None,
+    max_len: int = 16,
+    name: str = "built",
+) -> HuffmanTable:
+    """Construct an optimal length-limited canonical table from data.
+
+    Symbols absent from the corpus get no code (encoding them raises
+    UnknownSymbolError, the reference's num_bits==0 contract). Pass
+    ``freqs`` directly to control the distribution, or ``data`` to use its
+    histogram.
+    """
+    if (data is None) == (freqs is None):
+        raise TableError("pass exactly one of data / freqs")
+    if data is not None:
+        arr = (
+            np.frombuffer(bytes(data), dtype=np.uint8)
+            if isinstance(data, (bytes, bytearray))
+            else np.asarray(data, dtype=np.uint8)
+        )
+        freqs = np.bincount(arr, minlength=NUM_SYMBOLS)
+    lens = optimal_code_lengths(freqs, max_len=max_len)
+    return make_canonical(lens.tolist(), name=name)
+
+
 def load_static_test_table() -> HuffmanTable:
     """The 256-symbol static test table (max code length 10).
 
