@@ -10,13 +10,13 @@ vs_baseline  = ratio vs the C++ host oracle (cpp/, reference-semantics codec,
                single CPU core) on the same corpus — the comparator mandated
                by BASELINE.md (the reference publishes no numbers of its own).
 
-Measurement protocol (shaped by this rig's axon tunnel, see MEASURING.md):
-  1. ALL device timing happens before ANY device->host transfer — a D2H
-     transfer permanently degrades subsequent dispatch latency in-process.
-  2. Dispatch latency is contended and bursty; we take the MIN over many
-     reps (the uncontended hardware time), not the median.
-  3. Correctness (bit-exact round-trip vs the C++ oracle) is asserted
-     AFTER the clocks stop.
+Measurement protocol (MEASURING.md — REVISED): on this rig,
+``jax.block_until_ready`` on a large device output returns on dispatch-ack,
+not completion, so the only sound timing is a DEPENDENCY CHAIN: each step's
+input is derived from the previous step's full output through ops XLA cannot
+fold away; R steps are enqueued back-to-back and synchronized once, giving
+wall/R as a true upper bound on per-call device time. Correctness
+(bit-exact round-trip vs the C++ oracle) is asserted after the clocks stop.
 """
 
 from __future__ import annotations
@@ -29,18 +29,27 @@ import time
 import numpy as np
 
 
-def _min_time(fn, reps):
+def _chain_time(step, x0, reps, extra_sync=None):
+    """True per-call seconds via dependency-chain timing (MEASURING.md §1).
+
+    ``step`` must return a value usable as its own next input, where every
+    element depends on the full previous computation (DCE-proof).
+    """
     import jax
 
-    out = fn()
-    jax.block_until_ready(out)
+    x = step(x0)
+    jax.block_until_ready(x)  # warmup / compile
     best = float("inf")
-    for _ in range(reps):
+    for _ in range(2):  # two chains; min guards against contended bursts
+        x = x0
         t0 = time.perf_counter()
-        out = fn()
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    return out, best
+        for _ in range(reps):
+            x = step(x)
+        jax.block_until_ready(x)
+        if extra_sync is not None:
+            jax.block_until_ready(extra_sync(x))
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best
 
 
 def main():
@@ -48,7 +57,7 @@ def main():
     ap.add_argument("--mb", type=float, default=8.0, help="corpus size in MiB")
     ap.add_argument("--oracle-mb", type=float, default=4.0)
     ap.add_argument("--block-symbols", type=int, default=128)
-    ap.add_argument("--repeats", type=int, default=30)
+    ap.add_argument("--repeats", type=int, default=10, help="chain length")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -57,7 +66,7 @@ def main():
 
     import tpu_huffman as th
     from tpu_huffman.ops.bitpack import words_from_bytes_np
-    from tpu_huffman.ops.encode import DeviceTable, encode_block_kernel_indexed
+    from tpu_huffman.ops.encode import best_encode_step
     from tpu_huffman.ops.pallas_decode import (
         LANES,
         _decode_pipeline,
@@ -77,24 +86,24 @@ def main():
     data_np = rng.integers(0, 256, size=n, dtype=np.uint8)
     data = data_np.tobytes()
 
-    dt = DeviceTable.for_table(table)
     symbols = jnp.asarray(data_np)
 
     # ---------------- phase 1: time everything, transfer nothing ----------
-    def run_encode():
-        return encode_block_kernel_indexed(
-            symbols, jnp.int32(n), dt.patterns, dt.lengths,
-            jnp.uint32(0xFF), jnp.int32(0),
-            num_out_words=n + 2, block_symbols=K,
-        )
+    encode_fn, enc_finalize = best_encode_step(table, n, K)
 
-    enc_out, enc_s = _min_time(run_encode, args.repeats)
+    @jax.jit
+    def enc_step(sym):
+        words, total_bits, padded_bits = encode_fn(sym)
+        # next input: byte view of the words — depends on every output word
+        nxt = words[: n // 4].view(jnp.uint8)[:n]
+        return nxt
+
+    enc_s = _chain_time(enc_step, symbols, args.repeats)
 
     # Host-side stream/index prep for decode timing uses the HOST cumsum
     # (no transfer of device results before the clocks stop).
     lens64 = table.lengths[data_np].astype(np.int64)
     ends = np.cumsum(lens64)
-    total_bits = int(ends[-1])
     n_blocks = -(-n // K)
     starts_idx = np.arange(n_blocks) * K
     offsets = np.zeros(n_blocks, dtype=np.int64)
@@ -124,21 +133,28 @@ def main():
     jw, jb, jr, jn = map(jnp.asarray, (words_np, base, rel, nsym_arr))
     interp = _use_interpret()
 
-    def run_decode():
-        return _decode_pipeline(
-            jw, jb, jr, jn, K, Wb, G, struct.intervals, p32_flat, interp
+    @jax.jit
+    def dec_step(w):
+        out, end = _decode_pipeline(
+            w, jb, jr, jn, K, Wb, G, struct.intervals, p32_flat, interp
         )
+        # unmaskable dependency on the full decode output
+        s = out.sum(dtype=jnp.uint32) + end.sum(dtype=jnp.int32).astype(jnp.uint32)
+        return w ^ s
 
-    dec_out, dec_s = _min_time(run_decode, args.repeats)
+    dec_s = _chain_time(dec_step, jw, args.repeats)
 
     # ---------------- phase 2: clocks stopped; verify + baseline ----------
-    out_words, d_total, d_padded, _bad, _bi, _off = enc_out
+    out_words, d_total, d_padded = enc_finalize(symbols)
     from tpu_huffman.ops.bitpack import bytes_from_words_np
 
     nbytes = int(d_padded) // 8
     enc_bytes = bytes_from_words_np(np.asarray(out_words), nbytes)
     assert enc_bytes == encoded, "device encode != C++ oracle bytes"
 
+    dec_out = _decode_pipeline(
+        jw, jb, jr, jn, K, Wb, G, struct.intervals, p32_flat, interp
+    )
     flat = (
         np.ascontiguousarray(np.asarray(dec_out[0])).view(np.uint8).reshape(Bp, K)[:B]
     )
@@ -157,8 +173,8 @@ def main():
     o_dec = time.perf_counter() - t0
     assert out_o == data_or
 
-    gbps = 2 * n / (enc_s + dec_s) / 1e9 / 2
-    oracle_gbps = 2 * n_or / (o_enc + o_dec) / 1e9 / 2
+    gbps = n / (enc_s + dec_s) / 1e9
+    oracle_gbps = n_or / (o_enc + o_dec) / 1e9
     if args.verbose:
         print(
             f"# tpu encode {n/enc_s/1e9:.3f} GB/s, decode {n/dec_s/1e9:.3f} GB/s | "

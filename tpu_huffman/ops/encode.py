@@ -293,6 +293,37 @@ def encode_with_index(
     return bytes_from_words_np(np.asarray(words), nbytes), index
 
 
+def best_encode_step(table: HuffmanTable, n: int, block_symbols: int = 128):
+    """Fastest available device encode for fixed-size inputs (bench seam).
+
+    Returns ``(encode_fn, finalize_fn)``:
+      encode_fn(symbols_dev_u8[n]) -> (words u32[>=ceil(bits/32)],
+                                       total_bits, padded_bits) — jit-safe.
+      finalize_fn(symbols_dev)     -> same triple via a single normal call
+                                      (used for post-timing verification).
+
+    Prefers the Pallas pack kernel (ops/pallas_encode.py) when the table
+    supports it; falls back to the XLA gather+cumsum+scatter kernel.
+    """
+    from . import pallas_encode
+
+    if pallas_encode.supports(table):
+        return pallas_encode.encode_step(table, n, block_symbols)
+
+    dt = DeviceTable.for_table(table)
+    num_words = n + 2
+
+    def encode_fn(symbols):
+        words, total_bits, padded_bits, _bad, _bi = encode_block_kernel(
+            symbols, jnp.int32(n), dt.patterns, dt.lengths,
+            jnp.uint32(DEFAULT_EOS_PADDING), jnp.int32(0),
+            num_out_words=num_words,
+        )
+        return words, total_bits, padded_bits
+
+    return encode_fn, encode_fn
+
+
 def get_encoded_length(
     data: bytes | bytearray | np.ndarray, table: HuffmanTable
 ) -> int:

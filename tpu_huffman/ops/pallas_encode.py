@@ -1,0 +1,392 @@
+"""Pallas TPU kernel: block-local Huffman encode (pack) + XLA stitch.
+
+TPU-native replacement for both the reference's serial bit packer
+(reference: source/huffman.c:59-105, 161-173) and this repo's first-cut XLA
+encode kernel (ops/encode.py). Chain-protocol measurement (MEASURING.md §1)
+showed the XLA kernel's true cost on 8 Mi symbols is ~293 ms, split between
+two 256-entry elementwise table gathers (~137 ms), a full-length cumsum
+(~34 ms) and a 2N-element scatter (~148 ms). This kernel removes all three:
+
+1. **No gathers.** Symbol -> (code, length) is a 4-level select tree over
+   the packed inverse permutation (rank by symbol) followed by arithmetic
+   over the table's range-monotone intervals — the exact inverse of the
+   decode kernel's lookup (ops/pallas_decode.py): code = rank - bias,
+   left-aligned p32 = (rank - bias) << (32 - L).
+2. **Block-local pack.** Each lane packs K symbols into Wb VMEM words from
+   bit 0 (MSB-first, reference bit order), via a bounded select-scatter:
+   symbol i's word index lies in [i*min_len/32, i*max_len/32], so only that
+   window of words is touched. 1024 lanes (8x128) per grid step.
+3. **Small stitch.** Block bit lengths come back to XLA; an exclusive
+   prefix sum over *blocks* (hierarchical log-shift cumsum — XLA's builtin
+   1-D cumsum is ~34 ms at 8 Mi on this rig) gives each block's global bit
+   offset; rows are funnel-shifted by (offset & 31) elementwise and
+   scatter-added at word granularity — ~N*max_len/32 elements instead of 2N.
+
+Bit-exactness: disjoint bit positions make integer add equal bitwise OR, so
+the stitched stream is bit-identical to the reference encoder
+(source/huffman.c:131-187), including the eos_padding MSB fill of the final
+partial byte (source/huffman.c:178-184), applied as one extra synthetic
+code at total_bits.
+
+Unknown symbols (no interval matches the rank; reference raises at
+source/huffman.c:62-64) set a per-block flag, reduced by the wrapper.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..tables import HuffmanTable
+from .pallas_decode import structure_for
+
+LANES = 1024  # blocks per grid step, shaped (8, 128)
+
+
+@functools.lru_cache(maxsize=64)
+def _encode_constants(intervals, perm_bytes):
+    """Static per-table constants: packed invperm + rank intervals.
+
+    Returns (invp32: 64 u32 packing invperm little-endian,
+             enc_intervals: tuple of (rank_lo, rank_hi, L, sub, bias)).
+    """
+    perm = np.frombuffer(bytes(perm_bytes), dtype=np.uint8)
+    total = sum(((hi - lo) >> sub) for (lo, hi, L, sub, bias) in intervals)
+    invperm = np.full(256, 255, dtype=np.uint8)
+    for r in range(total):
+        invperm[perm[r]] = r
+    inv32 = invperm.astype(np.uint32)
+    invp32 = tuple(
+        int(
+            inv32[i * 4]
+            | (inv32[i * 4 + 1] << 8)
+            | (inv32[i * 4 + 2] << 16)
+            | (inv32[i * 4 + 3] << 24)
+        )
+        for i in range(64)
+    )
+    enc_intervals = tuple(
+        ((lo >> sub) + bias, (hi >> sub) + bias, L, sub, bias)
+        for (lo, hi, L, sub, bias) in intervals
+    )
+    return invp32, enc_intervals
+
+
+def _make_byte_lut(p32_flat):
+    """byte_lut(idx u32 in [0,256)) -> u32 byte, via a 4+2-level select tree
+    over the 256-byte table packed little-endian into 16 rows x 4 u32.
+    Same machinery as the decode kernel's perm_select
+    (ops/pallas_decode.py) with the constants swapped."""
+    P32 = [list(p32_flat[a * 4 : a * 4 + 4]) for a in range(16)]
+
+    def lut(idx):
+        a = idx >> 4
+        b = idx & 15
+        cur = [[jnp.uint32(P32[r][w]) for w in range(4)] for r in range(16)]
+        for bit in range(4):
+            t = ((a >> bit) & 1) == 1
+            cur = [
+                [jnp.where(t, cur[2 * i + 1][w], cur[2 * i][w]) for w in range(4)]
+                for i in range(len(cur) // 2)
+            ]
+        row = cur[0]
+        t0 = (b & 4) != 0
+        w01 = jnp.where(t0, row[1], row[0])
+        w23 = jnp.where(t0, row[3], row[2])
+        word = jnp.where((b & 8) != 0, w23, w01)
+        sh = ((b & 3) << 3).astype(jnp.uint32)
+        return (word >> sh) & jnp.uint32(0xFF)
+
+    return lut
+
+
+@functools.lru_cache(maxsize=64)
+def _make_pack_call(invp32, enc_intervals, K: int, Wb: int, G: int,
+                    min_len: int, max_len: int, interpret: bool):
+    """pallas_call packing K symbols/lane into Wb words, G grid steps."""
+    K4 = K // 4
+    rank_of = _make_byte_lut(invp32)
+
+    def lookup(sym):
+        """sym u32[8,128] -> (p32 left-aligned u32, ln i32; ln==0 unknown)."""
+        r = rank_of(sym).astype(jnp.int32)
+        ln = jnp.zeros((8, 128), jnp.int32)
+        p32 = jnp.zeros((8, 128), jnp.uint32)
+        for (rank_lo, rank_hi, L, sub, bias) in enc_intervals:
+            ind = (r >= rank_lo) & (r < rank_hi)
+            ln = ln + jnp.where(ind, jnp.int32(L), 0)
+            v = ((r - jnp.int32(bias)) << sub).astype(jnp.uint32)
+            p32 = p32 | jnp.where(ind, v, jnp.uint32(0))
+        return p32, ln
+
+    def kernel(syms_ref, nsym_ref, rows_ref, bits_ref, bad_ref):
+        ns = nsym_ref[0]
+        w = [jnp.zeros((8, 128), jnp.uint32) for _ in range(Wb)]
+        off = jnp.zeros((8, 128), jnp.int32)
+        bad = jnp.zeros((8, 128), jnp.bool_)
+        for u in range(K4):
+            packed = syms_ref[0, u]
+            for v in range(4):
+                i = u * 4 + v
+                sym = (packed >> jnp.uint32(8 * v)) & jnp.uint32(0xFF)
+                p32, ln = lookup(sym)
+                active = i < ns
+                bad = bad | (active & (ln == 0))
+                p32 = jnp.where(active, p32, jnp.uint32(0))
+                ln = jnp.where(active, ln, 0)
+                widx = off >> 5
+                sh = (off & 31).astype(jnp.uint32)
+                hi = p32 >> sh
+                lo = (p32 << (jnp.uint32(31) - sh)) << jnp.uint32(1)
+                # symbol i's start bit is within [i*min_len, i*max_len]
+                j_lo = (i * min_len) >> 5
+                j_hi = min((i * max_len) >> 5, Wb - 1)
+                for j in range(j_lo, j_hi + 1):
+                    w[j] = w[j] | jnp.where(widx == j, hi, jnp.uint32(0))
+                for j in range(j_lo + 1, min(j_hi + 1, Wb - 1) + 1):
+                    w[j] = w[j] | jnp.where(widx == (j - 1), lo, jnp.uint32(0))
+                off = off + ln
+        for j in range(Wb):
+            rows_ref[j] = w[j]
+        bits_ref[0] = off
+        bad_ref[0] = bad.astype(jnp.int32)
+
+    grid_spec = pl.GridSpec(
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, K4, 8, 128), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Wb, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((G * Wb, 8, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+
+
+def _cumsum_last(x):
+    """Inclusive cumsum along the last axis via log-shift adds (pad+slice;
+    XLA's builtin 1-D cumsum costs ~34 ms at 8 Mi on this rig)."""
+    n = x.shape[-1]
+    k = 1
+    while k < n:
+        shifted = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(k, 0)])[..., :n]
+        x = x + shifted
+        k *= 2
+    return x
+
+
+def _exclusive_cumsum_blocks(bits, C=128):
+    """Exclusive prefix sum of a 1-D i32 array, hierarchical in C-wide rows.
+
+    Returns (offsets, total). Works for any length (pads to a multiple of C).
+    """
+    B = bits.shape[0]
+    Bp = -(-B // C) * C
+    x = jnp.pad(bits, (0, Bp - B)).reshape(Bp // C, C)
+    inner = _cumsum_last(x)  # inclusive within each row
+    row_tot = inner[:, -1]
+    if Bp // C > 1:
+        row_off, _ = _exclusive_cumsum_blocks(row_tot, C)
+    else:
+        row_off = jnp.zeros((1,), jnp.int32)
+    incl = (inner + row_off[:, None]).reshape(Bp)[:B]
+    total = incl[B - 1]
+    offs = incl - bits
+    return offs, total
+
+
+def _pad_code(total_bits, eos_padding):
+    """EOS padding as one synthetic left-aligned code at total_bits
+    (reference: source/huffman.c:178-184; low pad_len bits of eos_padding)."""
+    tail = (total_bits & 7).astype(jnp.int32)
+    pad_len = ((8 - tail) & 7).astype(jnp.uint32)
+    pad_low = eos_padding.astype(jnp.uint32) & (
+        (jnp.uint32(1) << pad_len) - jnp.uint32(1)
+    )
+    pad_p32 = jnp.where(
+        pad_len > 0,
+        pad_low << ((jnp.uint32(32) - pad_len) & jnp.uint32(31)),
+        jnp.uint32(0),
+    )
+    return pad_p32, pad_len.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "K", "G", "Wb", "num_out_words", "invp32", "enc_intervals",
+        "min_len", "max_len", "interpret",
+    ),
+)
+def _encode_pipeline(
+    syms_padded_u32,  # u32[G*1024*K4] little-endian packed symbols
+    nsym,             # i32[G*1024] valid symbols per block
+    eos_padding,      # u32 scalar (traced: avoids a recompile per value)
+    K, G, Wb, num_out_words,
+    invp32, enc_intervals, min_len, max_len, interpret,
+):
+    """Full fused encode: pack kernel + hierarchical offsets + stitch.
+
+    Returns (words u32[num_out_words], total_bits, padded_bits, bad_any).
+    """
+    K4 = K // 4
+    B = G * LANES
+    staged = syms_padded_u32.reshape(G, 8, 128, K4).transpose(0, 3, 1, 2)
+    rows, bits, bad = _make_pack_call(
+        invp32, enc_intervals, K, Wb, G, min_len, max_len, interpret
+    )(staged, nsym.reshape(G, 8, 128))
+    rows = rows.reshape(G, Wb, 8, 128).transpose(0, 2, 3, 1).reshape(B, Wb)
+    bits_flat = bits.reshape(B)
+    bad_any = jnp.any(bad.reshape(B) > 0)
+
+    offs, total_bits = _exclusive_cumsum_blocks(bits_flat)
+    rel = (offs & 31).astype(jnp.uint32)
+    base = offs >> 5
+
+    rows_ext = jnp.concatenate([rows, jnp.zeros((B, 1), jnp.uint32)], axis=1)
+    prev = jnp.concatenate([jnp.zeros((B, 1), jnp.uint32), rows], axis=1)
+    shifted = (rows_ext >> rel[:, None]) | (
+        (prev << ((jnp.uint32(31) - rel[:, None]))) << jnp.uint32(1)
+    )
+
+    jj = jax.lax.broadcasted_iota(jnp.int32, (1, Wb + 1), 1)
+    widx = base[:, None] + jj
+    words = jnp.zeros(num_out_words, dtype=jnp.uint32)
+    words = words.at[widx.reshape(-1)].add(shifted.reshape(-1), mode="drop")
+
+    pad_p32, pad_len = _pad_code(total_bits, eos_padding)
+    pw = total_bits >> 5
+    psh = (total_bits & 31).astype(jnp.uint32)
+    words = words.at[pw].add(pad_p32 >> psh, mode="drop")
+    words = words.at[pw + 1].add(
+        (pad_p32 << (jnp.uint32(31) - psh)) << jnp.uint32(1), mode="drop"
+    )
+    return words, total_bits, total_bits + pad_len, bad_any
+
+
+def supports(table: HuffmanTable) -> bool:
+    """Pallas pack path needs the range-monotone structure (same condition
+    as the decode fast path) and at least one coded symbol."""
+    return structure_for(table) is not None and int(table.lengths.max()) > 0
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _plan(table: HuffmanTable, n: int, K: int = 32):
+    struct = structure_for(table)
+    assert struct is not None
+    invp32, enc_intervals = _encode_constants(
+        struct.intervals, bytes(struct.perm.tobytes())
+    )
+    lens = table.lengths[table.lengths > 0]
+    min_len = int(lens.min())
+    max_len = int(lens.max())
+    Wb = -(-(K * max_len) // 32)
+    B = -(-max(n, 1) // K)
+    G = -(-B // LANES)
+    # Bucket the output length to a power of two (>=64) so nearby input
+    # sizes share one compilation; extra words are zero and sliced off.
+    needed = -(-(n * max_len) // 32) + 2
+    num_out_words = max(64, 1 << (needed - 1).bit_length())
+    return invp32, enc_intervals, min_len, max_len, Wb, G, num_out_words
+
+
+def encode_step(table: HuffmanTable, n: int, block_symbols: int = 128,
+                eos_padding: int = 0xFF, K: int = 32):
+    """Bench/entry seam: returns (encode_fn, finalize_fn) for fixed n.
+
+    encode_fn(symbols u8[n] on device) -> (words, total_bits, padded_bits),
+    jit-traceable. finalize_fn is the same function (it is already a single
+    fused call), used for post-timing verification.
+    """
+    invp32, enc_intervals, min_len, max_len, Wb, G, num_out_words = _plan(
+        table, n, K
+    )
+    B = G * LANES
+    nsym_np = np.zeros(B, np.int32)
+    full = n // K
+    nsym_np[:full] = K
+    if n % K:
+        nsym_np[full] = n % K
+    nsym = jnp.asarray(nsym_np)
+    pad_to = B * K
+    interpret = _use_interpret()
+
+    def encode_fn(symbols):
+        padded = jnp.pad(symbols, (0, pad_to - n))
+        syms_u32 = jax.lax.bitcast_convert_type(
+            padded.reshape(-1, 4), jnp.uint32
+        ).reshape(-1)
+        words, total_bits, padded_bits, _bad = _encode_pipeline(
+            syms_u32, nsym, jnp.uint32(eos_padding), K, G, Wb, num_out_words,
+            invp32, enc_intervals, min_len, max_len, interpret,
+        )
+        return words, total_bits, padded_bits
+
+    return encode_fn, encode_fn
+
+
+def encode(data, table: HuffmanTable, eos_padding: int = 0xFF,
+           block_symbols: int = 128):
+    """One-shot encode on the Pallas path; reference-bit-identical bytes.
+
+    Also returns (bytes, total_bits, block_bit_offsets at ``block_symbols``
+    granularity as a host array) for index construction by callers.
+    Raises via the caller on unknown symbols (bad flag checked here).
+    """
+    from ..errors import UnknownSymbolError
+    from .bitpack import bytes_from_words_np
+
+    symbols = (
+        np.frombuffer(bytes(data), dtype=np.uint8)
+        if isinstance(data, (bytes, bytearray))
+        else np.asarray(data, dtype=np.uint8)
+    )
+    n = symbols.size
+    if n == 0:
+        return b"", 0
+    invp32, enc_intervals, min_len, max_len, Wb, G, num_out_words = _plan(
+        table, n
+    )
+    K = 32
+    B = G * LANES
+    nsym_np = np.zeros(B, np.int32)
+    full = n // K
+    nsym_np[:full] = K
+    if n % K:
+        nsym_np[full] = n % K
+    pad_to = B * K
+    padded = np.zeros(pad_to, np.uint8)
+    padded[:n] = symbols
+    syms_u32 = padded.view("<u4")
+    words, total_bits, padded_bits, bad = _encode_pipeline(
+        jnp.asarray(syms_u32), jnp.asarray(nsym_np), jnp.uint32(eos_padding),
+        K, G, Wb, num_out_words,
+        invp32, enc_intervals, min_len, max_len,
+        _use_interpret(),
+    )
+    if bool(bad):
+        lens = table.lengths[symbols]
+        idx = int(np.argmax(lens == 0))
+        raise UnknownSymbolError(index=idx, symbol=int(symbols[idx]))
+    nbytes = int(padded_bits) // 8
+    return bytes_from_words_np(np.asarray(words), nbytes), int(total_bits)
