@@ -158,6 +158,15 @@ def encode(
     return out
 
 
+def _pallas_fast_path(table) -> bool:
+    """Use the Pallas pack kernel (ops/pallas_encode.py) when it supports
+    the table and we're on real TPU hardware (its interpret mode is slower
+    than this XLA kernel everywhere else)."""
+    from . import pallas_encode
+
+    return jax.default_backend() == "tpu" and pallas_encode.supports(table)
+
+
 def _encode_impl(data, table, eos_padding):
     symbols = (
         np.frombuffer(bytes(data), dtype=np.uint8)
@@ -167,6 +176,11 @@ def _encode_impl(data, table, eos_padding):
     n = symbols.size
     if n == 0:
         return b""
+    if _pallas_fast_path(table):
+        from . import pallas_encode
+
+        out, _total = pallas_encode.encode(symbols, table, eos_padding)
+        return out
     bucket = _bucket_size(n)
     padded = np.zeros(bucket, dtype=np.uint8)
     padded[:n] = symbols
@@ -259,6 +273,23 @@ def encode_with_index(
     n = symbols.size
     if n == 0:
         return b"", BlockIndex(block_symbols, np.zeros(0, np.int32), np.zeros(0, np.int32), 0, 0)
+    if block_symbols % 32 == 0 and _pallas_fast_path(table):
+        from . import pallas_encode
+
+        out, total_bits, offsets = pallas_encode.encode_with_offsets(
+            symbols, table, eos_padding, every=block_symbols
+        )
+        n_blocks = -(-n // block_symbols)
+        n_syms = np.full(n_blocks, block_symbols, dtype=np.int32)
+        n_syms[-1] = n - (n_blocks - 1) * block_symbols
+        index = BlockIndex(
+            symbols_per_block=block_symbols,
+            bit_offsets=offsets,
+            n_symbols=n_syms,
+            total_symbols=n,
+            total_bits=total_bits,
+        )
+        return out, index
     bucket = max(_bucket_size(n), block_symbols)
     bucket = ((bucket + block_symbols - 1) // block_symbols) * block_symbols
     padded = np.zeros(bucket, dtype=np.uint8)

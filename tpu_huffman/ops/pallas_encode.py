@@ -244,7 +244,9 @@ def _encode_pipeline(
 ):
     """Full fused encode: pack kernel + hierarchical offsets + stitch.
 
-    Returns (words u32[num_out_words], total_bits, padded_bits, bad_any).
+    Returns (words u32[num_out_words], total_bits, padded_bits, bad_any,
+    offs i32[B] — each K-symbol block's absolute starting bit, free from
+    the prefix sum; callers derive coarser decode indexes from it).
     """
     K4 = K // 4
     B = G * LANES
@@ -278,7 +280,7 @@ def _encode_pipeline(
     words = words.at[pw + 1].add(
         (pad_p32 << (jnp.uint32(31) - psh)) << jnp.uint32(1), mode="drop"
     )
-    return words, total_bits, total_bits + pad_len, bad_any
+    return words, total_bits, total_bits + pad_len, bad_any, offs
 
 
 def supports(table: HuffmanTable) -> bool:
@@ -336,7 +338,7 @@ def encode_step(table: HuffmanTable, n: int, block_symbols: int = 128,
         syms_u32 = jax.lax.bitcast_convert_type(
             padded.reshape(-1, 4), jnp.uint32
         ).reshape(-1)
-        words, total_bits, padded_bits, _bad = _encode_pipeline(
+        words, total_bits, padded_bits, _bad, _offs = _encode_pipeline(
             syms_u32, nsym, jnp.uint32(eos_padding), K, G, Wb, num_out_words,
             invp32, enc_intervals, min_len, max_len, interpret,
         )
@@ -345,25 +347,12 @@ def encode_step(table: HuffmanTable, n: int, block_symbols: int = 128,
     return encode_fn, encode_fn
 
 
-def encode(data, table: HuffmanTable, eos_padding: int = 0xFF,
-           block_symbols: int = 128):
-    """One-shot encode on the Pallas path; reference-bit-identical bytes.
-
-    Also returns (bytes, total_bits, block_bit_offsets at ``block_symbols``
-    granularity as a host array) for index construction by callers.
-    Raises via the caller on unknown symbols (bad flag checked here).
-    """
+def _run(symbols: np.ndarray, table: HuffmanTable, eos_padding: int):
+    """Shared one-shot driver: returns (words_dev, total_bits, padded_bits,
+    offs_dev at K=32 granularity). Raises UnknownSymbolError."""
     from ..errors import UnknownSymbolError
-    from .bitpack import bytes_from_words_np
 
-    symbols = (
-        np.frombuffer(bytes(data), dtype=np.uint8)
-        if isinstance(data, (bytes, bytearray))
-        else np.asarray(data, dtype=np.uint8)
-    )
     n = symbols.size
-    if n == 0:
-        return b"", 0
     invp32, enc_intervals, min_len, max_len, Wb, G, num_out_words = _plan(
         table, n
     )
@@ -378,7 +367,7 @@ def encode(data, table: HuffmanTable, eos_padding: int = 0xFF,
     padded = np.zeros(pad_to, np.uint8)
     padded[:n] = symbols
     syms_u32 = padded.view("<u4")
-    words, total_bits, padded_bits, bad = _encode_pipeline(
+    words, total_bits, padded_bits, bad, offs = _encode_pipeline(
         jnp.asarray(syms_u32), jnp.asarray(nsym_np), jnp.uint32(eos_padding),
         K, G, Wb, num_out_words,
         invp32, enc_intervals, min_len, max_len,
@@ -388,5 +377,55 @@ def encode(data, table: HuffmanTable, eos_padding: int = 0xFF,
         lens = table.lengths[symbols]
         idx = int(np.argmax(lens == 0))
         raise UnknownSymbolError(index=idx, symbol=int(symbols[idx]))
+    return words, total_bits, padded_bits, offs
+
+
+def encode(data, table: HuffmanTable, eos_padding: int = 0xFF):
+    """One-shot encode on the Pallas path; reference-bit-identical bytes.
+
+    Returns (bytes, total_bits). Raises UnknownSymbolError like the
+    reference (source/huffman.c:62-64).
+    """
+    from .bitpack import bytes_from_words_np
+
+    symbols = (
+        np.frombuffer(bytes(data), dtype=np.uint8)
+        if isinstance(data, (bytes, bytearray))
+        else np.asarray(data, dtype=np.uint8)
+    )
+    if symbols.size == 0:
+        return b"", 0
+    words, total_bits, padded_bits, _offs = _run(symbols, table, eos_padding)
     nbytes = int(padded_bits) // 8
     return bytes_from_words_np(np.asarray(words), nbytes), int(total_bits)
+
+
+PACK_K = 32  # symbols per pack-kernel block; index granularity quantum
+
+
+def encode_with_offsets(data, table: HuffmanTable, eos_padding: int = 0xFF,
+                        every: int = 128):
+    """Encode and return (bytes, total_bits, bit_offsets every ``every``
+    symbols). ``every`` must be a multiple of PACK_K. The offsets come free
+    from the pack pipeline's prefix sum (cf. ops/encode.py
+    encode_with_index, which pays a full scatter kernel for the same)."""
+    from .bitpack import bytes_from_words_np
+
+    assert every % PACK_K == 0
+    symbols = (
+        np.frombuffer(bytes(data), dtype=np.uint8)
+        if isinstance(data, (bytes, bytearray))
+        else np.asarray(data, dtype=np.uint8)
+    )
+    n = symbols.size
+    if n == 0:
+        return b"", 0, np.zeros(0, np.int32)
+    words, total_bits, padded_bits, offs = _run(symbols, table, eos_padding)
+    n_idx = -(-n // every)
+    offsets = np.asarray(offs)[:: every // PACK_K][:n_idx].astype(np.int32)
+    nbytes = int(padded_bits) // 8
+    return (
+        bytes_from_words_np(np.asarray(words), nbytes),
+        int(total_bits),
+        offsets,
+    )
