@@ -8,8 +8,10 @@ Prints one JSON line per config (same schema as bench.py). Configs:
   streaming    — chunked SHORT_BUFFER-protocol round trip, 1 MiB output
                  chunks (BASELINE config 4, scaled to --stream-mb)
 
-Protocol per MEASURING.md: device timing first (min over reps), transfers
-and correctness checks after.
+Protocol per MEASURING.md (REVISED): dependency-chain timing — on this rig
+``block_until_ready`` on large device outputs returns on dispatch-ack, so
+each timed step feeds its full output back into the next step's input and
+one sync closes the chain. Transfers and correctness checks come after.
 """
 
 from __future__ import annotations
@@ -64,18 +66,21 @@ def english_like_corpus(n: int, seed: int = 7) -> bytes:
     return rng.choice(alphabet, size=n, p=weights).astype(np.uint8).tobytes()
 
 
-def _min_time(fn, reps):
+def _chain_time(step, x0, reps):
+    """True per-call seconds via dependency-chain timing (MEASURING.md §1)."""
     import jax
 
-    out = fn()
-    jax.block_until_ready(out)
+    x = step(x0)
+    jax.block_until_ready(x)
     best = float("inf")
-    for _ in range(reps):
+    for _ in range(2):
+        x = x0
         t0 = time.perf_counter()
-        out = fn()
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    return out, best
+        for _ in range(reps):
+            x = step(x)
+        jax.block_until_ready(x)
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best
 
 
 def bench_corpus(name, data_np, table, K, reps, emit):
@@ -84,7 +89,7 @@ def bench_corpus(name, data_np, table, K, reps, emit):
     import jax.numpy as jnp
 
     from tpu_huffman.ops.bitpack import bytes_from_words_np, words_from_bytes_np
-    from tpu_huffman.ops.encode import DeviceTable, encode_block_kernel_indexed
+    from tpu_huffman.ops.encode import best_encode_step
     from tpu_huffman.ops.pallas_decode import (
         LANES, _decode_pipeline, _use_interpret, structure_for, supports,
     )
@@ -95,16 +100,16 @@ def bench_corpus(name, data_np, table, K, reps, emit):
     assert supports(table, K)
     struct = structure_for(table)
     p32_flat = tuple(x for row in struct.p32 for x in row)
-    dt = DeviceTable.for_table(table)
     symbols = jnp.asarray(data_np)
 
-    def run_encode():
-        return encode_block_kernel_indexed(
-            symbols, jnp.int32(n), dt.patterns, dt.lengths,
-            jnp.uint32(0xFF), jnp.int32(0), num_out_words=n + 2, block_symbols=K,
-        )
+    encode_fn, enc_finalize = best_encode_step(table, n, K)
 
-    enc_out, enc_s = _min_time(run_encode, reps)
+    @jax.jit
+    def enc_step(sym):
+        words, total_bits, padded_bits = encode_fn(sym)
+        return words[: n // 4].view(jnp.uint8)[:n]
+
+    enc_s = _chain_time(enc_step, symbols, reps)
 
     ot = oracle.OracleTable(table)
     encoded = oracle.OracleEncoder(ot).encode(data)
@@ -130,13 +135,22 @@ def bench_corpus(name, data_np, table, K, reps, emit):
     jw, jb, jr, jn = map(jnp.asarray, (words_np, base, rel, nsm))
     interp = _use_interpret()
 
-    def run_decode():
-        return _decode_pipeline(jw, jb, jr, jn, K, Wb, G, struct.intervals, p32_flat, interp)
+    @jax.jit
+    def dec_step(w):
+        out, end = _decode_pipeline(
+            w, jb, jr, jn, K, Wb, G, struct.intervals, p32_flat, interp
+        )
+        s = out.sum(dtype=jnp.uint32) + end.sum(dtype=jnp.int32).astype(jnp.uint32)
+        return w ^ s
 
-    dec_out, dec_s = _min_time(run_decode, reps)
+    dec_s = _chain_time(dec_step, jw, reps)
 
     # clocks stopped: verify
-    _, d_total, d_padded = enc_out[0], enc_out[1], enc_out[2]
+    enc_out = enc_finalize(symbols)
+    dec_out = _decode_pipeline(
+        jw, jb, jr, jn, K, Wb, G, struct.intervals, p32_flat, interp
+    )
+    d_padded = enc_out[2]
     enc_bytes = bytes_from_words_np(np.asarray(enc_out[0]), int(d_padded) // 8)
     assert enc_bytes == encoded, f"{name}: device encode != oracle"
     flat = np.ascontiguousarray(np.asarray(dec_out[0])).view(np.uint8).reshape(Bp, K)[:B]
