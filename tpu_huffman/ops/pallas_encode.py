@@ -260,18 +260,33 @@ def _encode_pipeline(
 
     offs, total_bits = _exclusive_cumsum_blocks(bits_flat)
     rel = (offs & 31).astype(jnp.uint32)
-    base = offs >> 5
 
+    # Bit-level funnel: align each row to its global bit phase (offs & 31).
     rows_ext = jnp.concatenate([rows, jnp.zeros((B, 1), jnp.uint32)], axis=1)
     prev = jnp.concatenate([jnp.zeros((B, 1), jnp.uint32), rows], axis=1)
     shifted = (rows_ext >> rel[:, None]) | (
         (prev << ((jnp.uint32(31) - rel[:, None]))) << jnp.uint32(1)
     )
 
-    jj = jax.lax.broadcasted_iota(jnp.int32, (1, Wb + 1), 1)
-    widx = base[:, None] + jj
-    words = jnp.zeros(num_out_words, dtype=jnp.uint32)
-    words = words.at[widx.reshape(-1)].add(shifted.reshape(-1), mode="drop")
+    # Word-level barrel: place the Wb+1 words at column (offs>>5)&31 of a
+    # 2*32-word buffer, so the scatter becomes two 32-wide ROW scatters.
+    # Flat elementwise scatter costs ~19 ns/index; fat rows amortize it
+    # 3-5x (scripts/prof/prof_scatter.py).
+    assert Wb + 1 <= 33, "pack rows must fit two 32-word output rows"
+    a = ((offs >> 5) & 31).astype(jnp.int32)
+    buf = jnp.concatenate(
+        [shifted, jnp.zeros((B, 64 - (Wb + 1)), jnp.uint32)], axis=1
+    )
+    for k in (16, 8, 4, 2, 1):
+        rolled = jnp.pad(buf, ((0, 0), (k, 0)))[:, :64]
+        buf = jnp.where((a[:, None] & k) != 0, rolled, buf)
+
+    r0 = offs >> 10  # 32-word output row index
+    W32 = num_out_words // 32
+    out2d = jnp.zeros((W32, 32), dtype=jnp.uint32)
+    out2d = out2d.at[r0].add(buf[:, :32], mode="drop")
+    out2d = out2d.at[r0 + 1].add(buf[:, 32:], mode="drop")
+    words = out2d.reshape(num_out_words)
 
     pad_p32, pad_len = _pad_code(total_bits, eos_padding)
     pw = total_bits >> 5
