@@ -120,31 +120,11 @@ def structure_for(table: HuffmanTable) -> RangeMonotone | None:
     return _STRUCT_CACHE[key]
 
 
-def _make_decode_step(win, Wb, intervals, p32_flat):
-    """Shared per-symbol machinery over a VMEM-resident Wb-word row set.
-
-    Returns ``decode_at(off) -> (sym u32, ln i32)`` where ``off`` is the
-    bit offset [8,128] into the rows; ``ln == 0`` means no code matches
-    (invalid prefix — the reference coder's bits_read==0 contract).
-    Everything is select trees + interval arithmetic: no gathers.
-    """
-    NBITS = max(1, (Wb - 1).bit_length())
-    NB = 1 << NBITS
+def _make_perm_select(p32_flat):
+    """perm[rank] via select tree over scalar-constant packed rows."""
     P32 = [list(p32_flat[a * 4 : a * 4 + 4]) for a in range(16)]
-    pad0 = win + [win[-1]] * (NB - Wb)
-    pad1 = win[1:] + [win[-1]] * (NB - Wb + 1)
-
-    def sel_pair(widx):
-        """(words[widx], words[widx+1]) via LSB-first binary select tree."""
-        cur0, cur1 = pad0, pad1
-        for b in range(NBITS):
-            t = ((widx >> b) & 1) == 1
-            cur0 = [jnp.where(t, cur0[2 * i + 1], cur0[2 * i]) for i in range(len(cur0) // 2)]
-            cur1 = [jnp.where(t, cur1[2 * i + 1], cur1[2 * i]) for i in range(len(cur1) // 2)]
-        return cur0[0], cur1[0]
 
     def perm_select(rank):
-        """perm[rank] via select tree over scalar-constant packed rows."""
         a = rank >> 4
         b = rank & 15
         cur = [[jnp.uint32(P32[r][w]) for w in range(4)] for r in range(16)]
@@ -162,55 +142,141 @@ def _make_decode_step(win, Wb, intervals, p32_flat):
         sh = ((b & 3) << 3).astype(jnp.uint32)
         return (word >> sh) & jnp.uint32(0xFF)
 
+    return perm_select
+
+
+def _interval_decode(w, intervals):
+    """Arithmetic (rank, ln) from an MSB-aligned 32-bit window ``w``.
+
+    ln == 0 means no code matches (the reference coder's bits_read==0
+    contract, source/huffman.c:46-48)."""
+    ln = jnp.zeros(w.shape, jnp.int32)
+    rank = jnp.zeros(w.shape, jnp.int32)
+    for (lo, hi, L, sub, bias) in intervals:
+        if hi >= 1 << 32:
+            ind = w >= jnp.uint32(lo)
+        else:
+            ind = (w >= jnp.uint32(lo)) & (w < jnp.uint32(hi))
+        ln = ln + jnp.where(ind, jnp.int32(L), 0)
+        rank = rank + jnp.where(
+            ind, (w >> jnp.uint32(sub)).astype(jnp.int32) + jnp.int32(bias), 0
+        )
+    return rank, ln
+
+
+def _make_decode_step(win, Wb, intervals, p32_flat):
+    """Shared per-symbol machinery over a VMEM-resident Wb-word row set.
+
+    Returns ``decode_at(off) -> (sym u32, ln i32)`` where ``off`` is the
+    bit offset [8,128] into the rows; ``ln == 0`` means no code matches
+    (invalid prefix — the reference coder's bits_read==0 contract).
+    Everything is select trees + interval arithmetic: no gathers.
+    """
+    NBITS = max(1, (Wb - 1).bit_length())
+    NB = 1 << NBITS
+    perm_select = _make_perm_select(p32_flat)
+    pad0 = win + [win[-1]] * (NB - Wb)
+    pad1 = win[1:] + [win[-1]] * (NB - Wb + 1)
+
+    def sel_pair(widx):
+        """(words[widx], words[widx+1]) via LSB-first binary select tree."""
+        cur0, cur1 = pad0, pad1
+        for b in range(NBITS):
+            t = ((widx >> b) & 1) == 1
+            cur0 = [jnp.where(t, cur0[2 * i + 1], cur0[2 * i]) for i in range(len(cur0) // 2)]
+            cur1 = [jnp.where(t, cur1[2 * i + 1], cur1[2 * i]) for i in range(len(cur1) // 2)]
+        return cur0[0], cur1[0]
+
     def decode_at(off):
         widx = off >> 5
         sh = (off & 31).astype(jnp.uint32)
         w0, w1 = sel_pair(widx)
         w = (w0 << sh) | ((w1 >> jnp.uint32(1)) >> (jnp.uint32(31) - sh))
-        ln = jnp.zeros((8, 128), jnp.int32)
-        rank = jnp.zeros((8, 128), jnp.int32)
-        for (lo, hi, L, sub, bias) in intervals:
-            if hi >= 1 << 32:
-                ind = w >= jnp.uint32(lo)
-            else:
-                ind = (w >= jnp.uint32(lo)) & (w < jnp.uint32(hi))
-            ln = ln + jnp.where(ind, jnp.int32(L), 0)
-            rank = rank + jnp.where(
-                ind, (w >> jnp.uint32(sub)).astype(jnp.int32) + jnp.int32(bias), 0
-            )
+        rank, ln = _interval_decode(w, intervals)
         return perm_select(rank), ln
 
     return decode_at
 
 
+def _rows_for(Wb: int) -> int:
+    """32-word staging rows per block: a <32-word in-row start plus the
+    Wb-word window."""
+    return -(-(Wb + 31) // 32)
+
+
 @functools.lru_cache(maxsize=64)
 def _make_pallas_call(intervals, p32_flat, K: int, Wb: int, G: int, interpret: bool):
-    """Build the pallas_call for a (table-structure, K, Wb, G) combination."""
+    """Build the pallas_call for a (table-structure, K, Wb, G) combination.
+
+    The staged input is NR=ceil((Wb+31)/32) aligned 32-word rows per block;
+    the block's first symbol starts ``rel < 1024`` bits into them. The
+    kernel barrel-rolls the rows left by ``rel >> 5`` words (5 log steps),
+    then decodes with per-symbol *bounded* select windows: after the roll
+    the entry bit is < 32, so symbol i's word index provably lies in
+    [i*min_len >> 5, (31 + i*max_len) >> 5] and the select tree spans only
+    that slice — the dominant kernel cost drops from O(K * Wb) to
+    O(K * avg_width).
+    """
     K4 = K // 4
+    NR = _rows_for(Wb)
+    NW = NR * 32
+    lens = [L for (_lo, _hi, L, _sub, _bias) in intervals]
+    mn, mx = min(lens), max(lens)
+    perm_select = _make_perm_select(p32_flat)
 
     def kernel(win_ref, rel_ref, nsym_ref, out_ref, end_ref):
-        decode_at = _make_decode_step(
-            [win_ref[0, j] for j in range(Wb)], Wb, intervals, p32_flat
-        )
+        w = [win_ref[0, j] for j in range(NW)]
+        rel = rel_ref[0]  # bit offset into the staged rows, [0, 1024)
+        a = rel >> 5
+        zero = jnp.zeros((8, 128), jnp.uint32)
+        for k in (16, 8, 4, 2, 1):
+            t = (a & k) != 0
+            w = [
+                jnp.where(t, w[j + k] if j + k < NW else zero, w[j])
+                for j in range(NW)
+            ]
+        w = w[: Wb + 1]
+        while len(w) < Wb + 1:
+            w.append(zero)
+
+        def decode_bounded(off, lo, hi):
+            """decode_at with the word index known to lie in [lo, hi]."""
+            widx = off >> 5
+            sh = (off & 31).astype(jnp.uint32)
+            width = hi - lo + 1
+            nb = 1 << max(0, (width - 1).bit_length())
+            p0 = [w[lo + j] for j in range(width)] + [w[hi]] * (nb - width)
+            p1 = [w[lo + j + 1] for j in range(width)] + [w[hi + 1]] * (nb - width)
+            d = widx - lo
+            for b in range(max(0, (width - 1).bit_length())):
+                t = ((d >> b) & 1) == 1
+                p0 = [jnp.where(t, p0[2 * i + 1], p0[2 * i]) for i in range(len(p0) // 2)]
+                p1 = [jnp.where(t, p1[2 * i + 1], p1[2 * i]) for i in range(len(p1) // 2)]
+            wv = (p0[0] << sh) | ((p1[0] >> jnp.uint32(1)) >> (jnp.uint32(31) - sh))
+            rank, ln = _interval_decode(wv, intervals)
+            return perm_select(rank), ln
+
         ns = nsym_ref[0]
-        off = rel_ref[0]
+        off = rel & 31
         for s4 in range(K4):
             packed = jnp.zeros((8, 128), jnp.uint32)
             for u in range(4):
                 i = s4 * 4 + u
-                sym, ln = decode_at(off)
+                lo = (i * mn) >> 5
+                hi = min((31 + i * mx) >> 5, Wb - 1)
+                sym, ln = decode_bounded(off, lo, hi)
                 active = i < ns
                 packed = packed | (
                     jnp.where(active, sym, jnp.uint32(0)) << jnp.uint32(8 * u)
                 )
                 off = jnp.where(active, off + ln, off)
             out_ref[s4] = packed
-        end_ref[0] = off
+        end_ref[0] = off + (a << 5)
 
     grid_spec = pl.GridSpec(
         grid=(G,),
         in_specs=[
-            pl.BlockSpec((1, Wb, 8, 128), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NW, 8, 128), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
         ],
@@ -243,11 +309,25 @@ def _use_interpret() -> bool:
 
 @functools.partial(jax.jit, static_argnames=("K", "Wb", "G", "intervals", "p32_flat", "interpret"))
 def _decode_pipeline(words, base, rel, nsym, K, Wb, G, intervals, p32_flat, interpret):
-    jj = jax.lax.broadcasted_iota(jnp.int32, (1, Wb), 1)
-    win = words[base[:, None] + jj]  # fast row gather
-    win = win.reshape(G, 8, 128, Wb).transpose(0, 3, 1, 2)
+    """words u32[*], base i32[B] (word index of block start), rel i32[B]
+    (bit within that word), nsym i32[B] -> (packed symbols, end bits).
+
+    Staging is NR aligned 32-word row-takes per block — elementwise window
+    gathers cost ~9 ns/element on this rig (MEASURING.md §2) while aligned
+    row-takes amortize the per-index cost 32-wide; the in-row misalignment
+    moves into the kernel's barrel roll.
+    """
+    NR = _rows_for(Wb)
+    S = -(-words.shape[0] // 32) + NR
+    spans = jnp.pad(words, (0, S * 32 - words.shape[0])).reshape(S, 32)
+    r = base >> 5
+    rel2 = ((base & 31) << 5) + rel
+    win = jnp.concatenate(
+        [jnp.take(spans, r + t, axis=0, mode="clip") for t in range(NR)], axis=1
+    )
+    win = win.reshape(G, 8, 128, NR * 32).transpose(0, 3, 1, 2)
     out, end = _make_pallas_call(intervals, p32_flat, K, Wb, G, interpret)(
-        win, rel.reshape(G, 8, 128), nsym.reshape(G, 8, 128)
+        win, rel2.reshape(G, 8, 128), nsym.reshape(G, 8, 128)
     )
     K4 = K // 4
     out = out.reshape(G, K4, 8, 128).transpose(0, 2, 3, 1).reshape(G * LANES, K4)
