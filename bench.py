@@ -56,7 +56,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mb", type=float, default=8.0, help="corpus size in MiB")
     ap.add_argument("--oracle-mb", type=float, default=4.0)
-    ap.add_argument("--block-symbols", type=int, default=128)
+    # 192 measured fastest for indexed decode on the static table (4.44 ms
+    # vs 4.84 at 128 and 6.09 at 256 for 8 MiB; scripts/prof/prof_decode_k.py)
+    # and is the coarser (cheaper) index.
+    ap.add_argument("--block-symbols", type=int, default=192)
     ap.add_argument("--repeats", type=int, default=10, help="chain length")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
@@ -94,9 +97,13 @@ def main():
     @jax.jit
     def enc_step(sym):
         words, total_bits, padded_bits = encode_fn(sym)
-        # next input: byte view of the words — depends on every output word
-        nxt = words[: n // 4].view(jnp.uint8)[:n]
-        return nxt
+        # Chain through a scalar reduction of the full output: the next
+        # input depends on every output word (DCE-proof, unfoldable), and
+        # unlike a words->u8 view feedback it adds no relayout cost (a u32
+        # ->u8 bitcast of the output measured ~6.8 ms of pure overhead,
+        # scripts/prof/prof_encode_prod.py).
+        s = words.sum(dtype=jnp.uint32)
+        return sym ^ s.astype(jnp.uint8)
 
     enc_s = _chain_time(enc_step, symbols, args.repeats)
 

@@ -1,0 +1,66 @@
+"""Same-process A/B of the decode pipeline over index granularity K
+(block_symbols). One process = one rig state, so the comparison is fair
+even when dispatch speed drifts between runs. MEASURING.md protocol."""
+import time
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import tpu_huffman as th
+from tpu_huffman.ops.bitpack import words_from_bytes_np
+from tpu_huffman.ops.pallas_decode import (
+    LANES, _decode_pipeline, _use_interpret, structure_for, supports,
+)
+from tpu_huffman import oracle
+
+table = th.load_static_test_table()
+struct = structure_for(table)
+p32_flat = tuple(x for row in struct.p32 for x in row)
+N = 8 * 1024 * 1024
+rng = np.random.default_rng(2024)
+data_np = rng.integers(0, 256, size=N, dtype=np.uint8)
+
+lens64 = table.lengths[data_np].astype(np.int64)
+ends = np.cumsum(lens64)
+ot = oracle.OracleTable(table)
+encoded = oracle.OracleEncoder(ot).encode(data_np.tobytes())
+words_np, _ = words_from_bytes_np(encoded)
+words_np = np.concatenate([words_np, np.zeros(2, np.uint32)])
+jw = jnp.asarray(words_np)
+interp = _use_interpret()
+
+for K in (128, 192, 256, 384, 512):
+    if not supports(table, K):
+        print(f"K={K}: unsupported")
+        continue
+    n_blocks = -(-N // K)
+    starts_idx = np.arange(n_blocks) * K
+    offsets = np.zeros(n_blocks, dtype=np.int64)
+    offsets[1:] = ends[starts_idx[1:] - 1]
+    B = n_blocks
+    G = -(-B // LANES)
+    Bp = G * LANES
+    Wb = (K * table.max_len + 31) // 32 + 2
+    base = np.zeros(Bp, np.int32); rel = np.zeros(Bp, np.int32); nsym = np.zeros(Bp, np.int32)
+    base[:B] = offsets >> 5; rel[:B] = offsets & 31; nsym[:B] = K
+    nsym[B - 1] = N - (B - 1) * K
+    jb, jr, jn = map(jnp.asarray, (base, rel, nsym))
+
+    @jax.jit
+    def step(seed, jb=jb, jr=jr, jn=jn, K=K, Wb=Wb, G=G):
+        out, end = _decode_pipeline(
+            jw ^ seed, jb, jr, jn, K, Wb, G, struct.intervals, p32_flat, interp
+        )
+        return seed ^ out.sum(dtype=jnp.uint32) ^ end.sum(dtype=jnp.int32).astype(jnp.uint32)
+
+    s = step(jnp.uint32(0))
+    jax.block_until_ready(s)
+    best = float("inf")
+    for _ in range(3):
+        s = jnp.uint32(0)
+        t0 = time.perf_counter()
+        for _ in range(8):
+            s = step(s)
+        jax.block_until_ready(s)
+        best = min(best, (time.perf_counter() - t0) / 8)
+    print(f"K={K:3d}: {best*1e3:8.3f} ms  ({N/best/1e9:.3f} GB/s)", flush=True)

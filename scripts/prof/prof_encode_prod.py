@@ -24,7 +24,9 @@ for K in (32,):
 
     @jax.jit
     def step(seed):
-        syms = (symbols + seed.astype(jnp.uint8)) - seed.astype(jnp.uint8)
+        # XOR, not (x+s)-s: the latter folds to x in u8, severing the chain
+        # and letting the device pipeline steps (undercounts, MEASURING.md).
+        syms = symbols ^ seed.astype(jnp.uint8)
         words, total_bits, padded_bits = enc_fn(syms)
         return (
             seed
@@ -43,3 +45,22 @@ for K in (32,):
         jax.block_until_ready(s)
         best = min(best, (time.perf_counter() - t0) / 8)
     print(f"encode prod K={K}: {best*1e3:8.3f} ms  ({N/best/1e9:.3f} GB/s)", flush=True)
+
+    # bench.py's exact step shape (u8 view of the words fed back as input),
+    # same process — isolates bench-vs-probe protocol differences.
+    @jax.jit
+    def bench_step(sym):
+        words, total_bits, padded_bits = enc_fn(sym)
+        return words[: N // 4].view(jnp.uint8)[:N]
+
+    x = bench_step(symbols)
+    jax.block_until_ready(x)
+    best = float("inf")
+    for _ in range(3):
+        x = symbols
+        t0 = time.perf_counter()
+        for _ in range(8):
+            x = bench_step(x)
+        jax.block_until_ready(x)
+        best = min(best, (time.perf_counter() - t0) / 8)
+    print(f"encode bench-style: {best*1e3:8.3f} ms  ({N/best/1e9:.3f} GB/s)", flush=True)

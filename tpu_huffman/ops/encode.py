@@ -256,7 +256,7 @@ def encode_with_index(
     data: bytes | bytearray | np.ndarray,
     table: HuffmanTable,
     eos_padding: int = DEFAULT_EOS_PADDING,
-    block_symbols: int = 128,
+    block_symbols: int = 192,  # measured fastest indexed-decode granularity (scripts/prof/prof_decode_k.py)
 ):
     """Encode and return (bytes, BlockIndex) for block-parallel decode.
 
@@ -324,7 +324,7 @@ def encode_with_index(
     return bytes_from_words_np(np.asarray(words), nbytes), index
 
 
-def best_encode_step(table: HuffmanTable, n: int, block_symbols: int = 128):
+def best_encode_step(table: HuffmanTable, n: int, block_symbols: int = 192):
     """Fastest available device encode for fixed-size inputs (bench seam).
 
     Returns ``(encode_fn, finalize_fn)``:

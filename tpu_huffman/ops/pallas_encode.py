@@ -333,7 +333,7 @@ def _plan(table: HuffmanTable, n: int, K: int = 32):
     return invp32, enc_intervals, min_len, max_len, Wb, G, num_out_words
 
 
-def encode_step(table: HuffmanTable, n: int, block_symbols: int = 128,
+def encode_step(table: HuffmanTable, n: int, block_symbols: int = 192,  # measured fastest indexed-decode granularity (scripts/prof/prof_decode_k.py)
                 eos_padding: int = 0xFF, K: int = 32):
     """Bench/entry seam: returns (encode_fn, finalize_fn) for fixed n.
 
