@@ -16,7 +16,7 @@ rng = np.random.default_rng(2024)
 data_np = rng.integers(0, 256, size=N, dtype=np.uint8)
 symbols = jnp.asarray(data_np)
 
-for K in (32,):
+for K in (64, 128, 256):
     invp32, enc_intervals, min_len, max_len, Wb, G, now = pe._plan(table, N, K)
     print(f"K={K}: Wb={Wb} G={G} B={G*pe.LANES} num_out_words={now}")
 
@@ -46,21 +46,3 @@ for K in (32,):
         best = min(best, (time.perf_counter() - t0) / 8)
     print(f"encode prod K={K}: {best*1e3:8.3f} ms  ({N/best/1e9:.3f} GB/s)", flush=True)
 
-    # bench.py's exact step shape (u8 view of the words fed back as input),
-    # same process — isolates bench-vs-probe protocol differences.
-    @jax.jit
-    def bench_step(sym):
-        words, total_bits, padded_bits = enc_fn(sym)
-        return words[: N // 4].view(jnp.uint8)[:N]
-
-    x = bench_step(symbols)
-    jax.block_until_ready(x)
-    best = float("inf")
-    for _ in range(3):
-        x = symbols
-        t0 = time.perf_counter()
-        for _ in range(8):
-            x = bench_step(x)
-        jax.block_until_ready(x)
-        best = min(best, (time.perf_counter() - t0) / 8)
-    print(f"encode bench-style: {best*1e3:8.3f} ms  ({N/best/1e9:.3f} GB/s)", flush=True)

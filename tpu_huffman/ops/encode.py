@@ -256,15 +256,24 @@ def encode_with_index(
     data: bytes | bytearray | np.ndarray,
     table: HuffmanTable,
     eos_padding: int = DEFAULT_EOS_PADDING,
-    block_symbols: int = 192,  # measured fastest indexed-decode granularity (scripts/prof/prof_decode_k.py)
+    block_symbols: int | None = None,
 ):
     """Encode and return (bytes, BlockIndex) for block-parallel decode.
 
     The bytes are identical to :func:`encode`; the index is side metadata
     (SURVEY.md §7 "Plan A": stream stays bit-identical to the reference).
+    block_symbols=None picks the table's measured-best granularity
+    (pallas_encode.index_granularity).
     """
     from .decode import BlockIndex  # local import to avoid a cycle
 
+    if block_symbols is None:
+        if _pallas_fast_path(table):
+            from . import pallas_encode
+
+            block_symbols = pallas_encode.index_granularity(table)
+        else:
+            block_symbols = 192
     symbols = (
         np.frombuffer(bytes(data), dtype=np.uint8)
         if isinstance(data, (bytes, bytearray))
@@ -273,7 +282,13 @@ def encode_with_index(
     n = symbols.size
     if n == 0:
         return b"", BlockIndex(block_symbols, np.zeros(0, np.int32), np.zeros(0, np.int32), 0, 0)
-    if block_symbols % 32 == 0 and _pallas_fast_path(table):
+    if _pallas_fast_path(table):
+        from . import pallas_encode
+
+        k = pallas_encode.pack_k(table)
+    else:
+        k = 0
+    if k and block_symbols % k == 0:
         from . import pallas_encode
 
         out, total_bits, offsets = pallas_encode.encode_with_offsets(

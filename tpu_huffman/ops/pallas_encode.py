@@ -272,26 +272,30 @@ def _encode_pipeline(
         (prev << ((jnp.uint32(31) - rel[:, None]))) << jnp.uint32(1)
     )
 
-    # Word-level barrel: place the Wb+1 words at column (offs>>5)&31 of a
-    # 2*32-word buffer, so the scatter becomes two 32-wide ROW scatters.
-    # Flat elementwise scatter costs ~19 ns/index; fat rows amortize it
-    # 3-5x (scripts/prof/prof_scatter.py).
-    assert Wb + 1 <= 33, "pack rows must fit two 32-word output rows"
+    # Word-level barrel: place the Wb+1 words at column (offs>>5)&31 of an
+    # nrows*32-word buffer, so the scatter becomes nrows 32-wide ROW
+    # scatters. Scatter cost is dominated by index count (~19-29 ns/index,
+    # scripts/prof/prof_scatter.py / prof_sorted_hints.py); fat rows
+    # amortize it, and larger K (fewer, fatter blocks) amortizes further —
+    # the K=32 -> 64 move alone took the pipeline 11.3 -> 7.5 ms at 8 MiB
+    # (scripts/prof/prof_encode_prod.py).
+    nrows = -(-(Wb + 32) // 32)  # Wb+1 words shifted right by up to 31
+    W64 = 32 * nrows
     a = ((offs >> 5) & 31).astype(jnp.int32)
     buf = jnp.concatenate(
-        [shifted, jnp.zeros((B, 64 - (Wb + 1)), jnp.uint32)], axis=1
+        [shifted, jnp.zeros((B, W64 - (Wb + 1)), jnp.uint32)], axis=1
     )
     for k in (16, 8, 4, 2, 1):
-        rolled = jnp.pad(buf, ((0, 0), (k, 0)))[:, :64]
+        rolled = jnp.pad(buf, ((0, 0), (k, 0)))[:, :W64]
         buf = jnp.where((a[:, None] & k) != 0, rolled, buf)
 
     r0 = offs >> 10  # 32-word output row index (offs is a cumsum => sorted)
     W32 = num_out_words // 32
     out2d = jnp.zeros((W32, 32), dtype=jnp.uint32)
-    out2d = out2d.at[r0].add(buf[:, :32], mode="drop", indices_are_sorted=True)
-    out2d = out2d.at[r0 + 1].add(
-        buf[:, 32:], mode="drop", indices_are_sorted=True
-    )
+    for t in range(nrows):
+        out2d = out2d.at[r0 + t].add(
+            buf[:, 32 * t : 32 * (t + 1)], mode="drop", indices_are_sorted=True
+        )
     words = out2d.reshape(num_out_words)
 
     pad_p32, pad_len = _pad_code(total_bits, eos_padding)
@@ -333,14 +337,36 @@ def _plan(table: HuffmanTable, n: int, K: int = 32):
     return invp32, enc_intervals, min_len, max_len, Wb, G, num_out_words
 
 
-def encode_step(table: HuffmanTable, n: int, block_symbols: int = 192,  # measured fastest indexed-decode granularity (scripts/prof/prof_decode_k.py)
-                eos_padding: int = 0xFF, K: int = 32):
+def pack_k(table: HuffmanTable) -> int:
+    """Kernel block size (symbols per lane) for this table.
+
+    Targets Wb = ceil(K*max_len/32) ~= 40 VMEM words per lane: the K sweep
+    at 8 MiB on the static table (max_len 10) measured 10.5 ms @K=32,
+    6.4 @64, 5.9 @128, 5.7 @256 (scripts/prof/prof_encode_prod.py) — bigger
+    blocks amortize the stitch scatter's per-index cost — while deep tables
+    need smaller K to keep the kernel's per-lane row buffer from spilling.
+    """
+    if _use_interpret():
+        # Off-TPU the kernel runs in the Pallas interpreter, where the
+        # K-times-unrolled pack loop dominates wall time; the stitch
+        # scatter this tuning amortizes is a TPU cost. Keep blocks small.
+        return 32
+    lens = table.lengths[table.lengths > 0]
+    max_len = int(lens.max()) if lens.size else 1
+    return max(32, min(256, (1280 // max_len) // 4 * 4))
+
+
+def encode_step(table: HuffmanTable, n: int, block_symbols: int = 192,
+                eos_padding: int = 0xFF, K: int | None = None):
     """Bench/entry seam: returns (encode_fn, finalize_fn) for fixed n.
 
     encode_fn(symbols u8[n] on device) -> (words, total_bits, padded_bits),
     jit-traceable. finalize_fn is the same function (it is already a single
-    fused call), used for post-timing verification.
+    fused call), used for post-timing verification. K=None picks
+    pack_k(table).
     """
+    if K is None:
+        K = pack_k(table)
     invp32, enc_intervals, min_len, max_len, Wb, G, num_out_words = _plan(
         table, n, K
     )
@@ -370,14 +396,14 @@ def encode_step(table: HuffmanTable, n: int, block_symbols: int = 192,  # measur
 
 def _run(symbols: np.ndarray, table: HuffmanTable, eos_padding: int):
     """Shared one-shot driver: returns (words_dev, total_bits, padded_bits,
-    offs_dev at K=32 granularity). Raises UnknownSymbolError."""
+    offs_dev at pack_k(table) granularity). Raises UnknownSymbolError."""
     from ..errors import UnknownSymbolError
 
     n = symbols.size
+    K = pack_k(table)
     invp32, enc_intervals, min_len, max_len, Wb, G, num_out_words = _plan(
-        table, n
+        table, n, K
     )
-    K = 32
     B = G * LANES
     nsym_np = np.zeros(B, np.int32)
     full = n // K
@@ -421,18 +447,28 @@ def encode(data, table: HuffmanTable, eos_padding: int = 0xFF):
     return bytes_from_words_np(np.asarray(words), nbytes), int(total_bits)
 
 
-PACK_K = 32  # symbols per pack-kernel block; index granularity quantum
+def index_granularity(table: HuffmanTable) -> int:
+    """Default BlockIndex granularity: the largest multiple of
+    pack_k(table) the decode fast path accepts (supports() caps
+    symbols_per_block at 512). Coarser = cheaper metadata; the decode K
+    sweep is flat in this range (scripts/prof/prof_decode_k.py)."""
+    k = pack_k(table)
+    return max(k, 512 // k * k)
 
 
 def encode_with_offsets(data, table: HuffmanTable, eos_padding: int = 0xFF,
-                        every: int = 128):
+                        every: int | None = None):
     """Encode and return (bytes, total_bits, bit_offsets every ``every``
-    symbols). ``every`` must be a multiple of PACK_K. The offsets come free
-    from the pack pipeline's prefix sum (cf. ops/encode.py
-    encode_with_index, which pays a full scatter kernel for the same)."""
+    symbols). ``every`` must be a multiple of pack_k(table); None picks
+    index_granularity(table). The offsets come free from the pack
+    pipeline's prefix sum (cf. ops/encode.py encode_with_index, which pays
+    a full scatter kernel for the same)."""
     from .bitpack import bytes_from_words_np
 
-    assert every % PACK_K == 0
+    k = pack_k(table)
+    if every is None:
+        every = index_granularity(table)
+    assert every % k == 0
     symbols = (
         np.frombuffer(bytes(data), dtype=np.uint8)
         if isinstance(data, (bytes, bytearray))
@@ -443,7 +479,7 @@ def encode_with_offsets(data, table: HuffmanTable, eos_padding: int = 0xFF,
         return b"", 0, np.zeros(0, np.int32)
     words, total_bits, padded_bits, offs = _run(symbols, table, eos_padding)
     n_idx = -(-n // every)
-    offsets = np.asarray(offs)[:: every // PACK_K][:n_idx].astype(np.int32)
+    offsets = np.asarray(offs)[:: every // k][:n_idx].astype(np.int32)
     nbytes = int(padded_bits) // 8
     return (
         bytes_from_words_np(np.asarray(words), nbytes),
