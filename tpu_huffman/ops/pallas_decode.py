@@ -222,9 +222,34 @@ def _make_pallas_call(intervals, p32_flat, K: int, Wb: int, G: int, interpret: b
     NW = NR * 32
     lens = [L for (_lo, _hi, L, _sub, _bias) in intervals]
     mn, mx = min(lens), max(lens)
-    perm_select = _make_perm_select(p32_flat)
+    # rank -> symbol as a pair of lane-axis tpu.dynamic_gather lookups over
+    # 128-wide table rows (2x cheaper than the packed select tree,
+    # scripts/prof/prof_dynamic_gather.py; same rework as the encode
+    # kernel's pattern/length LUTs).
+    perm_np = np.zeros(256, np.int32)
+    for m, word in enumerate(p32_flat):
+        a, wq = divmod(m, 4)
+        for kk in range(4):
+            perm_np[a * 16 + wq * 4 + kk] = (word >> (8 * kk)) & 0xFF
+    perm_tbl_np = np.stack(
+        [
+            np.broadcast_to(perm_np[:128], (8, 128)),
+            np.broadcast_to(perm_np[128:], (8, 128)),
+        ]
+    )
 
-    def kernel(win_ref, rel_ref, nsym_ref, out_ref, end_ref):
+    def kernel(win_ref, rel_ref, nsym_ref, perm_ref, out_ref, end_ref):
+        perm_lo = perm_ref[0]
+        perm_hi = perm_ref[1]
+
+        def perm_select(rank):
+            idx = rank & 127
+            return jnp.where(
+                rank >= 128,
+                jnp.take_along_axis(perm_hi, idx, axis=1),
+                jnp.take_along_axis(perm_lo, idx, axis=1),
+            ).astype(jnp.uint32)
+
         w = [win_ref[0, j] for j in range(NW)]
         rel = rel_ref[0]  # bit offset into the staged rows, [0, 1024)
         a = rel >> 5
@@ -279,13 +304,14 @@ def _make_pallas_call(intervals, p32_flat, K: int, Wb: int, G: int, interpret: b
             pl.BlockSpec((1, NW, 8, 128), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((K4, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
         ],
     )
-    return pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
@@ -294,6 +320,13 @@ def _make_pallas_call(intervals, p32_flat, K: int, Wb: int, G: int, interpret: b
         ],
         interpret=interpret,
     )
+
+    def run(win, rel, nsym):
+        # perm_tbl_np stays a host constant; materializing it per trace
+        # avoids caching a tracer in this lru-cached closure.
+        return call(win, rel, nsym, jnp.asarray(perm_tbl_np))
+
+    return run
 
 
 def _on_tpu() -> bool:

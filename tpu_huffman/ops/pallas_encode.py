@@ -7,11 +7,12 @@ showed the XLA kernel's true cost on 8 Mi symbols is ~293 ms, split between
 two 256-entry elementwise table gathers (~137 ms), a full-length cumsum
 (~34 ms) and a 2N-element scatter (~148 ms). This kernel removes all three:
 
-1. **No gathers.** Symbol -> (code, length) is a 4-level select tree over
-   the packed inverse permutation (rank by symbol) followed by arithmetic
-   over the table's range-monotone intervals — the exact inverse of the
-   decode kernel's lookup (ops/pallas_decode.py): code = rank - bias,
-   left-aligned p32 = (rank - bias) << (32 - L).
+1. **No XLA gathers.** Symbol -> (pattern, length) is two direct
+   256-entry LUTs done as lane-axis `tpu.dynamic_gather` pairs over
+   128-wide table rows (XLA's elementwise gather costs ~137 ms at 8 Mi on
+   this rig; the in-kernel gather is ~13 VPU cycles per 256-LUT lookup and
+   beat the 4+2-level select tree + rank-interval arithmetic it replaced
+   2x, scripts/prof/prof_dynamic_gather.py).
 2. **Block-local pack.** Each lane packs K symbols into Wb VMEM words from
    bit 0 (MSB-first, reference bit order), via a bounded select-scatter:
    symbol i's word index lies in [i*min_len/32, i*max_len/32], so only that
@@ -28,7 +29,7 @@ the stitched stream is bit-identical to the reference encoder
 partial byte (source/huffman.c:178-184), applied as one extra synthetic
 code at total_bits.
 
-Unknown symbols (no interval matches the rank; reference raises at
+Unknown symbols (length-0 table entries; reference raises at
 source/huffman.c:62-64) set a per-block flag, reduced by the wrapper.
 """
 
@@ -43,38 +44,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..tables import HuffmanTable
-from .pallas_decode import structure_for
 
 LANES = 1024  # blocks per grid step, shaped (8, 128)
-
-
-@functools.lru_cache(maxsize=64)
-def _encode_constants(intervals, perm_bytes):
-    """Static per-table constants: packed invperm + rank intervals.
-
-    Returns (invp32: 64 u32 packing invperm little-endian,
-             enc_intervals: tuple of (rank_lo, rank_hi, L, sub, bias)).
-    """
-    perm = np.frombuffer(bytes(perm_bytes), dtype=np.uint8)
-    total = sum(((hi - lo) >> sub) for (lo, hi, L, sub, bias) in intervals)
-    invperm = np.full(256, 255, dtype=np.uint8)
-    for r in range(total):
-        invperm[perm[r]] = r
-    inv32 = invperm.astype(np.uint32)
-    invp32 = tuple(
-        int(
-            inv32[i * 4]
-            | (inv32[i * 4 + 1] << 8)
-            | (inv32[i * 4 + 2] << 16)
-            | (inv32[i * 4 + 3] << 24)
-        )
-        for i in range(64)
-    )
-    enc_intervals = tuple(
-        ((lo >> sub) + bias, (hi >> sub) + bias, L, sub, bias)
-        for (lo, hi, L, sub, bias) in intervals
-    )
-    return invp32, enc_intervals
 
 
 def _make_byte_lut(p32_flat):
@@ -106,25 +77,54 @@ def _make_byte_lut(p32_flat):
 
 
 @functools.lru_cache(maxsize=64)
-def _make_pack_call(invp32, enc_intervals, K: int, Wb: int, G: int,
+def _make_pack_call(p32t, lent, K: int, Wb: int, G: int,
                     min_len: int, max_len: int, interpret: bool):
-    """pallas_call packing K symbols/lane into Wb words, G grid steps."""
+    """pallas_call packing K symbols/lane into Wb words, G grid steps.
+
+    p32t/lent: 256-tuples of the left-aligned code pattern (u32 as int)
+    and code length per symbol (length 0 = unknown symbol, the reference
+    coder contract, huffman.h:34-36).
+    """
     K4 = K // 4
-    rank_of = _make_byte_lut(invp32)
+    # Symbol -> (pattern, length) is two direct 256-entry LUTs, each as a
+    # pair of lane-axis tpu.dynamic_gather lookups over a 128-wide table
+    # row broadcast across sublanes (+ a bit-7 select). One gather-based
+    # 256-LUT costs ~13 VPU cycles vs ~27 for the packed select tree it
+    # replaced, and the direct tables also delete the rank->length
+    # interval scan (scripts/prof: gather 0.0132 vs tree 0.0272 ns/lookup
+    # above a common floor).
+    p32_np = np.asarray(p32t, dtype=np.uint64).astype(np.uint32)
+    p32_np = p32_np.view(np.int32)
+    len_np = np.asarray(lent, dtype=np.int32)
+    tbl_np = np.stack(
+        [
+            np.broadcast_to(p32_np[:128], (8, 128)),
+            np.broadcast_to(p32_np[128:], (8, 128)),
+            np.broadcast_to(len_np[:128], (8, 128)),
+            np.broadcast_to(len_np[128:], (8, 128)),
+        ]
+    )
 
-    def lookup(sym):
+    def lookup(sym, luts):
         """sym u32[8,128] -> (p32 left-aligned u32, ln i32; ln==0 unknown)."""
-        r = rank_of(sym).astype(jnp.int32)
-        ln = jnp.zeros((8, 128), jnp.int32)
-        p32 = jnp.zeros((8, 128), jnp.uint32)
-        for (rank_lo, rank_hi, L, sub, bias) in enc_intervals:
-            ind = (r >= rank_lo) & (r < rank_hi)
-            ln = ln + jnp.where(ind, jnp.int32(L), 0)
-            v = ((r - jnp.int32(bias)) << sub).astype(jnp.uint32)
-            p32 = p32 | jnp.where(ind, v, jnp.uint32(0))
-        return p32, ln
+        idx = sym.astype(jnp.int32)
+        lo = idx & 127
+        hi = idx >= 128
+        plo, phi, llo, lhi = luts
+        p = jnp.where(
+            hi,
+            jnp.take_along_axis(phi, lo, axis=1),
+            jnp.take_along_axis(plo, lo, axis=1),
+        )
+        ln = jnp.where(
+            hi,
+            jnp.take_along_axis(lhi, lo, axis=1),
+            jnp.take_along_axis(llo, lo, axis=1),
+        )
+        return jax.lax.bitcast_convert_type(p, jnp.uint32), ln
 
-    def kernel(syms_ref, nsym_ref, rows_ref, bits_ref, bad_ref):
+    def kernel(syms_ref, nsym_ref, luts_ref, rows_ref, bits_ref, bad_ref):
+        luts = tuple(luts_ref[t] for t in range(4))
         ns = nsym_ref[0]
         w = [jnp.zeros((8, 128), jnp.uint32) for _ in range(Wb)]
         off = jnp.zeros((8, 128), jnp.int32)
@@ -134,7 +134,7 @@ def _make_pack_call(invp32, enc_intervals, K: int, Wb: int, G: int,
             for v in range(4):
                 i = u * 4 + v
                 sym = (packed >> jnp.uint32(8 * v)) & jnp.uint32(0xFF)
-                p32, ln = lookup(sym)
+                p32, ln = lookup(sym, luts)
                 active = i < ns
                 bad = bad | (active & (ln == 0))
                 p32 = jnp.where(active, p32, jnp.uint32(0))
@@ -144,12 +144,23 @@ def _make_pack_call(invp32, enc_intervals, K: int, Wb: int, G: int,
                 hi = p32 >> sh
                 lo = (p32 << (jnp.uint32(31) - sh)) << jnp.uint32(1)
                 # symbol i's start bit is within [i*min_len, i*max_len]
+                # (off >= i*min_len always, so widx >= j_lo and the lo
+                # half never lands at j_lo). The widx==j compare at word j
+                # is reused as the widx==j-1 test at word j+1.
                 j_lo = (i * min_len) >> 5
                 j_hi = min((i * max_len) >> 5, Wb - 1)
-                for j in range(j_lo, j_hi + 1):
-                    w[j] = w[j] | jnp.where(widx == j, hi, jnp.uint32(0))
-                for j in range(j_lo + 1, min(j_hi + 1, Wb - 1) + 1):
-                    w[j] = w[j] | jnp.where(widx == (j - 1), lo, jnp.uint32(0))
+                j_end = min(j_hi + 1, Wb - 1)
+                eq_prev = None
+                for j in range(j_lo, j_end + 1):
+                    eq = (widx == j) if j <= j_hi else None
+                    if eq is not None and eq_prev is not None:
+                        v = jnp.where(eq, hi, jnp.where(eq_prev, lo, jnp.uint32(0)))
+                    elif eq is not None:
+                        v = jnp.where(eq, hi, jnp.uint32(0))
+                    else:
+                        v = jnp.where(eq_prev, lo, jnp.uint32(0))
+                    w[j] = w[j] | v
+                    eq_prev = eq
                 off = off + ln
         for j in range(Wb):
             rows_ref[j] = w[j]
@@ -161,6 +172,7 @@ def _make_pack_call(invp32, enc_intervals, K: int, Wb: int, G: int,
         in_specs=[
             pl.BlockSpec((1, K4, 8, 128), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((Wb, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
@@ -168,7 +180,7 @@ def _make_pack_call(invp32, enc_intervals, K: int, Wb: int, G: int,
             pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
         ],
     )
-    return pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
@@ -178,6 +190,12 @@ def _make_pack_call(invp32, enc_intervals, K: int, Wb: int, G: int,
         ],
         interpret=interpret,
     )
+    def run(staged_syms, nsym):
+        # tbl_np stays a host constant; materializing it per trace avoids
+        # caching a tracer in this lru-cached closure.
+        return call(staged_syms, nsym, jnp.asarray(tbl_np))
+
+    return run
 
 
 def _cumsum_last(x):
@@ -231,7 +249,7 @@ def _pad_code(total_bits, eos_padding):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "K", "G", "Wb", "num_out_words", "invp32", "enc_intervals",
+        "K", "G", "Wb", "num_out_words", "p32t", "lent",
         "min_len", "max_len", "interpret",
     ),
 )
@@ -240,7 +258,7 @@ def _encode_pipeline(
     nsym,             # i32[G*1024] valid symbols per block
     eos_padding,      # u32 scalar (traced: avoids a recompile per value)
     K, G, Wb, num_out_words,
-    invp32, enc_intervals, min_len, max_len, interpret,
+    p32t, lent, min_len, max_len, interpret,
 ):
     """Full fused encode: pack kernel + hierarchical offsets + stitch.
 
@@ -252,7 +270,7 @@ def _encode_pipeline(
     B = G * LANES
     staged = syms_padded_u32.reshape(G, 8, 128, K4).transpose(0, 3, 1, 2)
     rows, bits, bad = _make_pack_call(
-        invp32, enc_intervals, K, Wb, G, min_len, max_len, interpret
+        p32t, lent, K, Wb, G, min_len, max_len, interpret
     )(staged, nsym.reshape(G, 8, 128))
     rows = rows.reshape(G, Wb, 8, 128).transpose(0, 2, 3, 1).reshape(B, Wb)
     bits_flat = bits.reshape(B)
@@ -309,9 +327,12 @@ def _encode_pipeline(
 
 
 def supports(table: HuffmanTable) -> bool:
-    """Pallas pack path needs the range-monotone structure (same condition
-    as the decode fast path) and at least one coded symbol."""
-    return structure_for(table) is not None and int(table.lengths.max()) > 0
+    """Pallas pack path needs at least one coded symbol. Unlike the decode
+    fast path it does NOT need the range-monotone structure: the direct
+    per-symbol (pattern, length) gather tables work for any prefix-free
+    table, including non-canonical generator output (reference:
+    generator.c accepts arbitrary prefix codes)."""
+    return int(table.lengths.max()) > 0
 
 
 def _use_interpret() -> bool:
@@ -319,11 +340,15 @@ def _use_interpret() -> bool:
 
 
 def _plan(table: HuffmanTable, n: int, K: int = 32):
-    struct = structure_for(table)
-    assert struct is not None
-    invp32, enc_intervals = _encode_constants(
-        struct.intervals, bytes(struct.perm.tobytes())
-    )
+    # Direct per-symbol tables (hashable tuples: they key the lru-cached
+    # pallas_call): left-aligned pattern and code length, length 0 =
+    # unknown symbol (the reference coder contract, huffman.h:34-36).
+    lengths = table.lengths.astype(np.int64)
+    patterns = table.patterns.astype(np.uint64)
+    shift = (32 - np.minimum(lengths, 32)).astype(np.uint64)
+    p32 = np.where(lengths > 0, (patterns << shift) & 0xFFFFFFFF, 0)
+    p32t = tuple(int(v) for v in p32)
+    lent = tuple(int(v) for v in lengths)
     lens = table.lengths[table.lengths > 0]
     min_len = int(lens.min())
     max_len = int(lens.max())
@@ -334,15 +359,15 @@ def _plan(table: HuffmanTable, n: int, K: int = 32):
     # sizes share one compilation; extra words are zero and sliced off.
     needed = -(-(n * max_len) // 32) + 2
     num_out_words = max(64, 1 << (needed - 1).bit_length())
-    return invp32, enc_intervals, min_len, max_len, Wb, G, num_out_words
+    return p32t, lent, min_len, max_len, Wb, G, num_out_words
 
 
 def pack_k(table: HuffmanTable) -> int:
     """Kernel block size (symbols per lane) for this table.
 
-    Targets Wb = ceil(K*max_len/32) ~= 40 VMEM words per lane: the K sweep
+    Targets Wb = ceil(K*max_len/32) ~= 80 VMEM words per lane: the K sweep
     at 8 MiB on the static table (max_len 10) measured 10.5 ms @K=32,
-    6.4 @64, 5.9 @128, 5.7 @256 (scripts/prof/prof_encode_prod.py) — bigger
+    7.6 @64, 5.7 @128, 5.3 @256 (scripts/prof/prof_encode_prod.py) — bigger
     blocks amortize the stitch scatter's per-index cost — while deep tables
     need smaller K to keep the kernel's per-lane row buffer from spilling.
     """
@@ -353,7 +378,7 @@ def pack_k(table: HuffmanTable) -> int:
         return 32
     lens = table.lengths[table.lengths > 0]
     max_len = int(lens.max()) if lens.size else 1
-    return max(32, min(256, (1280 // max_len) // 4 * 4))
+    return max(32, min(256, (2560 // max_len) // 4 * 4))
 
 
 def encode_step(table: HuffmanTable, n: int, block_symbols: int = 192,
@@ -367,7 +392,7 @@ def encode_step(table: HuffmanTable, n: int, block_symbols: int = 192,
     """
     if K is None:
         K = pack_k(table)
-    invp32, enc_intervals, min_len, max_len, Wb, G, num_out_words = _plan(
+    p32t, lent, min_len, max_len, Wb, G, num_out_words = _plan(
         table, n, K
     )
     B = G * LANES
@@ -387,7 +412,7 @@ def encode_step(table: HuffmanTable, n: int, block_symbols: int = 192,
         ).reshape(-1)
         words, total_bits, padded_bits, _bad, _offs = _encode_pipeline(
             syms_u32, nsym, jnp.uint32(eos_padding), K, G, Wb, num_out_words,
-            invp32, enc_intervals, min_len, max_len, interpret,
+            p32t, lent, min_len, max_len, interpret,
         )
         return words, total_bits, padded_bits
 
@@ -401,7 +426,7 @@ def _run(symbols: np.ndarray, table: HuffmanTable, eos_padding: int):
 
     n = symbols.size
     K = pack_k(table)
-    invp32, enc_intervals, min_len, max_len, Wb, G, num_out_words = _plan(
+    p32t, lent, min_len, max_len, Wb, G, num_out_words = _plan(
         table, n, K
     )
     B = G * LANES
@@ -417,7 +442,7 @@ def _run(symbols: np.ndarray, table: HuffmanTable, eos_padding: int):
     words, total_bits, padded_bits, bad, offs = _encode_pipeline(
         jnp.asarray(syms_u32), jnp.asarray(nsym_np), jnp.uint32(eos_padding),
         K, G, Wb, num_out_words,
-        invp32, enc_intervals, min_len, max_len,
+        p32t, lent, min_len, max_len,
         _use_interpret(),
     )
     if bool(bad):
