@@ -56,10 +56,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mb", type=float, default=8.0, help="corpus size in MiB")
     ap.add_argument("--oracle-mb", type=float, default=4.0)
-    # 192 measured fastest for indexed decode on the static table (4.44 ms
-    # vs 4.84 at 128 and 6.09 at 256 for 8 MiB; scripts/prof/prof_decode_k.py)
-    # and is the coarser (cheaper) index.
-    ap.add_argument("--block-symbols", type=int, default=192)
+    # 256 measured fastest for indexed decode on the static table with the
+    # gather-LUT kernel (4.20 ms vs 4.35 at 192, 4.39 at 128 for 8 MiB;
+    # scripts/prof/prof_decode_k.py) and matches pack_k so the encode
+    # pipeline's free offsets serve as the index.
+    ap.add_argument("--block-symbols", type=int, default=256)
     ap.add_argument("--repeats", type=int, default=10, help="chain length")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()

@@ -473,12 +473,13 @@ def encode(data, table: HuffmanTable, eos_padding: int = 0xFF):
 
 
 def index_granularity(table: HuffmanTable) -> int:
-    """Default BlockIndex granularity: the largest multiple of
-    pack_k(table) the decode fast path accepts (supports() caps
-    symbols_per_block at 512). Coarser = cheaper metadata; the decode K
-    sweep is flat in this range (scripts/prof/prof_decode_k.py)."""
+    """Default BlockIndex granularity: the multiple of pack_k(table)
+    nearest the measured sweet spot K=256 (gather-LUT kernel sweep:
+    4.20 ms @256 vs 4.35 @192, 4.39 @128, 4.41 @512 on 8 MiB,
+    scripts/prof/prof_decode_k.py); supports() caps symbols_per_block
+    at 512."""
     k = pack_k(table)
-    return max(k, 512 // k * k)
+    return max(k, min(512, round(256 / k) * k or k))
 
 
 def encode_with_offsets(data, table: HuffmanTable, eos_padding: int = 0xFF,
