@@ -10,13 +10,17 @@ vs_baseline  = ratio vs the C++ host oracle (cpp/, reference-semantics codec,
                single CPU core) on the same corpus — the comparator mandated
                by BASELINE.md (the reference publishes no numbers of its own).
 
-Measurement protocol (MEASURING.md — REVISED): on this rig,
-``jax.block_until_ready`` on a large device output returns on dispatch-ack,
-not completion, so the only sound timing is a DEPENDENCY CHAIN: each step's
-input is derived from the previous step's full output through ops XLA cannot
-fold away; R steps are enqueued back-to-back and synchronized once, giving
-wall/R as a true upper bound on per-call device time. Correctness
-(bit-exact round-trip vs the C++ oracle) is asserted after the clocks stop.
+Measurement protocol (MEASURING.md — REVISED 2026-08-18): on this rig every
+dispatched program pays ~2 ms of host/tunnel overhead and a timed call pays
+a ~30-40 ms round trip, so per-dispatch timing (including the earlier
+dependency-chain protocol, which paid the overhead once per chain step)
+measures dispatch, not compute — a bare xor+sum over 8 MiB "measured"
+2 ms/step when its true device time is 16 us. The only sound timing is an
+IN-PROGRAM LOOP: run the op k times inside one jitted ``lax.fori_loop``
+whose carry feeds the next iteration's input (so iterations cannot be
+hoisted or folded), force completion with a host read of the scalar result,
+and fit the slope between two loop lengths. Correctness (bit-exact
+round-trip vs the C++ oracle) is asserted after the clocks stop.
 """
 
 from __future__ import annotations
@@ -29,27 +33,35 @@ import time
 import numpy as np
 
 
-def _chain_time(step, x0, reps, extra_sync=None):
-    """True per-call seconds via dependency-chain timing (MEASURING.md §1).
+def _loop_time(body, k_lo=9, k_hi=129, reps=3):
+    """True per-iteration seconds via in-program loop slope (MEASURING.md §1).
 
-    ``step`` must return a value usable as its own next input, where every
-    element depends on the full previous computation (DCE-proof).
+    ``body(i, carry) -> carry`` must thread a u32 scalar carry through the
+    full computation (every output element depends on it and it depends on
+    every output element), making iterations sequential and DCE-proof. The
+    per-dispatch overhead (~2 ms) and timed-call round trip (~30-40 ms on
+    this rig) cancel in the slope between the two loop lengths.
     """
-    import jax
+    import functools
 
-    x = step(x0)
-    jax.block_until_ready(x)  # warmup / compile
-    best = float("inf")
-    for _ in range(2):  # two chains; min guards against contended bursts
-        x = x0
-        t0 = time.perf_counter()
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def run(seed, k):
+        return jax.lax.fori_loop(0, k, body, seed)
+
+    tot = {}
+    for k in (k_lo, k_hi):
+        int(run(jnp.uint32(1), k))  # compile + warm
+        best = float("inf")
         for _ in range(reps):
-            x = step(x)
-        jax.block_until_ready(x)
-        if extra_sync is not None:
-            jax.block_until_ready(extra_sync(x))
-        best = min(best, (time.perf_counter() - t0) / reps)
-    return best
+            t0 = time.perf_counter()
+            r = run(jnp.uint32(1), k)
+            int(r)  # host read: the only completion barrier this rig honors
+            best = min(best, time.perf_counter() - t0)
+        tot[k] = best
+    return (tot[k_hi] - tot[k_lo]) / (k_hi - k_lo)
 
 
 def main():
@@ -61,7 +73,7 @@ def main():
     # scripts/prof/prof_decode_k.py) and matches pack_k so the encode
     # pipeline's free offsets serve as the index.
     ap.add_argument("--block-symbols", type=int, default=256)
-    ap.add_argument("--repeats", type=int, default=10, help="chain length")
+    ap.add_argument("--k-hi", type=int, default=129, help="long loop length")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -95,18 +107,15 @@ def main():
     # ---------------- phase 1: time everything, transfer nothing ----------
     encode_fn, enc_finalize = best_encode_step(table, n, K)
 
-    @jax.jit
-    def enc_step(sym):
+    def enc_body(i, carry):
+        # Carry-perturb the input (one fused elementwise xor, ~16 us at
+        # 8 MiB) and fold the full output into the carry: iterations are
+        # strictly sequential and nothing can be hoisted or DCE'd.
+        sym = symbols ^ carry.astype(jnp.uint8)
         words, total_bits, padded_bits = encode_fn(sym)
-        # Chain through a scalar reduction of the full output: the next
-        # input depends on every output word (DCE-proof, unfoldable), and
-        # unlike a words->u8 view feedback it adds no relayout cost (a u32
-        # ->u8 bitcast of the output measured ~6.8 ms of pure overhead,
-        # scripts/prof/prof_encode_prod.py).
-        s = words.sum(dtype=jnp.uint32)
-        return sym ^ s.astype(jnp.uint8)
+        return carry ^ words.sum(dtype=jnp.uint32) ^ total_bits.astype(jnp.uint32)
 
-    enc_s = _chain_time(enc_step, symbols, args.repeats)
+    enc_s = _loop_time(enc_body, k_hi=args.k_hi)
 
     # Host-side stream/index prep for decode timing uses the HOST cumsum
     # (no transfer of device results before the clocks stop).
@@ -141,16 +150,21 @@ def main():
     jw, jb, jr, jn = map(jnp.asarray, (words_np, base, rel, nsym_arr))
     interp = _use_interpret()
 
-    @jax.jit
-    def dec_step(w):
+    def dec_body(i, carry):
+        # xor-perturbing the stream words keeps a true data dependency;
+        # decode of perturbed bits costs the same (the kernel has no
+        # data-dependent control flow).
+        w = jw ^ carry
         out, end = _decode_pipeline(
             w, jb, jr, jn, K, Wb, G, struct.intervals, p32_flat, interp
         )
-        # unmaskable dependency on the full decode output
-        s = out.sum(dtype=jnp.uint32) + end.sum(dtype=jnp.int32).astype(jnp.uint32)
-        return w ^ s
+        return (
+            carry
+            ^ out.sum(dtype=jnp.uint32)
+            ^ end.sum(dtype=jnp.int32).astype(jnp.uint32)
+        )
 
-    dec_s = _chain_time(dec_step, jw, args.repeats)
+    dec_s = _loop_time(dec_body, k_hi=args.k_hi)
 
     # ---------------- phase 2: clocks stopped; verify + baseline ----------
     out_words, d_total, d_padded = enc_finalize(symbols)
