@@ -76,16 +76,40 @@ def _make_byte_lut(p32_flat):
     return lut
 
 
+def _sub_block(K: int, min_len: int, max_len: int) -> int:
+    """Pack-kernel re-anchor interval: symbols per in-kernel sub-block.
+
+    The per-symbol select-scatter window grows linearly with symbol
+    position (j spans [i*min_len/32, i*max_len/32]), so packing all K
+    symbols from one anchor costs O(K^2*(max_len-min_len)/32) selects per
+    block. Re-anchoring every S symbols (pack locally from bit 0, then
+    funnel+barrel-merge the S-symbol window into the block buffer) bounds
+    the window by S. S=64 measured fastest at K=256 on the static table
+    (scripts/prof/prof_true_pack_sub.py). Must divide K; fixed-length
+    tables (min==max) keep windows width-2 regardless, so skip."""
+    if min_len == max_len or K <= 64:
+        return K
+    for s in (64, 32, 28, 20, 16, 12, 8, 4):
+        if K % s == 0:
+            return s
+    return K
+
+
 @functools.lru_cache(maxsize=64)
 def _make_pack_call(p32t, lent, K: int, Wb: int, G: int,
-                    min_len: int, max_len: int, interpret: bool):
+                    min_len: int, max_len: int, interpret: bool,
+                    S: int | None = None):
     """pallas_call packing K symbols/lane into Wb words, G grid steps.
 
     p32t/lent: 256-tuples of the left-aligned code pattern (u32 as int)
     and code length per symbol (length 0 = unknown symbol, the reference
     coder contract, huffman.h:34-36).
+
+    S: re-anchor interval (see _sub_block); None or K = single anchor.
     """
     K4 = K // 4
+    if S is None:
+        S = K
     # Symbol -> (pattern, length) is two direct 256-entry LUTs, each as a
     # pair of lane-axis tpu.dynamic_gather lookups over a 128-wide table
     # row broadcast across sublanes (+ a bit-7 select). One gather-based
@@ -123,45 +147,104 @@ def _make_pack_call(p32t, lent, K: int, Wb: int, G: int,
         )
         return jax.lax.bitcast_convert_type(p, jnp.uint32), ln
 
+    nsub = K // S
+    S4 = S // 4
+    Ws = -(-(S * max_len) // 32) if nsub > 1 else Wb
+
     def kernel(syms_ref, nsym_ref, luts_ref, rows_ref, bits_ref, bad_ref):
         luts = tuple(luts_ref[t] for t in range(4))
         ns = nsym_ref[0]
-        w = [jnp.zeros((8, 128), jnp.uint32) for _ in range(Wb)]
+        zero = jnp.zeros((8, 128), jnp.uint32)
+        w = [zero for _ in range(Wb)]
         off = jnp.zeros((8, 128), jnp.int32)
         bad = jnp.zeros((8, 128), jnp.bool_)
-        for u in range(K4):
-            packed = syms_ref[0, u]
-            for v in range(4):
-                i = u * 4 + v
-                sym = (packed >> jnp.uint32(8 * v)) & jnp.uint32(0xFF)
-                p32, ln = lookup(sym, luts)
-                active = i < ns
-                bad = bad | (active & (ln == 0))
-                p32 = jnp.where(active, p32, jnp.uint32(0))
-                ln = jnp.where(active, ln, 0)
-                widx = off >> 5
-                sh = (off & 31).astype(jnp.uint32)
-                hi = p32 >> sh
-                lo = (p32 << (jnp.uint32(31) - sh)) << jnp.uint32(1)
-                # symbol i's start bit is within [i*min_len, i*max_len]
-                # (off >= i*min_len always, so widx >= j_lo and the lo
-                # half never lands at j_lo). The widx==j compare at word j
-                # is reused as the widx==j-1 test at word j+1.
-                j_lo = (i * min_len) >> 5
-                j_hi = min((i * max_len) >> 5, Wb - 1)
-                j_end = min(j_hi + 1, Wb - 1)
-                eq_prev = None
-                for j in range(j_lo, j_end + 1):
-                    eq = (widx == j) if j <= j_hi else None
-                    if eq is not None and eq_prev is not None:
-                        v = jnp.where(eq, hi, jnp.where(eq_prev, lo, jnp.uint32(0)))
-                    elif eq is not None:
-                        v = jnp.where(eq, hi, jnp.uint32(0))
-                    else:
-                        v = jnp.where(eq_prev, lo, jnp.uint32(0))
-                    w[j] = w[j] | v
-                    eq_prev = eq
-                off = off + ln
+        for s in range(nsub):
+            # Pack sub-block s into a local window anchored at bit 0: the
+            # per-symbol select-scatter window is bounded by the LOCAL
+            # index il, not the block index, making total pack work
+            # O(K*S*(max-min)/32) instead of O(K^2*(max-min)/32).
+            if nsub == 1:
+                wl, loff, Wl = w, off, Wb
+            else:
+                wl = [zero for _ in range(Ws)]
+                loff = jnp.zeros((8, 128), jnp.int32)
+                Wl = Ws
+            for u in range(S4):
+                packed = syms_ref[0, s * S4 + u]
+                for v in range(4):
+                    il = u * 4 + v
+                    i = s * S + il
+                    sym = (packed >> jnp.uint32(8 * v)) & jnp.uint32(0xFF)
+                    p32, ln = lookup(sym, luts)
+                    active = i < ns
+                    bad = bad | (active & (ln == 0))
+                    p32 = jnp.where(active, p32, jnp.uint32(0))
+                    ln = jnp.where(active, ln, 0)
+                    widx = loff >> 5
+                    sh = (loff & 31).astype(jnp.uint32)
+                    hi = p32 >> sh
+                    lo = (p32 << (jnp.uint32(31) - sh)) << jnp.uint32(1)
+                    # symbol il's start bit is within [il*min_len,
+                    # il*max_len] (loff >= il*min_len always, so widx >=
+                    # j_lo and the lo half never lands at j_lo). The
+                    # widx==j compare at word j is reused as the widx==j-1
+                    # test at word j+1.
+                    j_lo = (il * min_len) >> 5
+                    j_hi = min((il * max_len) >> 5, Wl - 1)
+                    j_end = min(j_hi + 1, Wl - 1)
+                    eq_prev = None
+                    for j in range(j_lo, j_end + 1):
+                        eq = (widx == j) if j <= j_hi else None
+                        if eq is not None and eq_prev is not None:
+                            vv = jnp.where(
+                                eq, hi, jnp.where(eq_prev, lo, jnp.uint32(0))
+                            )
+                        elif eq is not None:
+                            vv = jnp.where(eq, hi, jnp.uint32(0))
+                        else:
+                            vv = jnp.where(eq_prev, lo, jnp.uint32(0))
+                        wl[j] = wl[j] | vv
+                        eq_prev = eq
+                    loff = loff + ln
+            if nsub == 1:
+                off = loff
+            elif s == 0:
+                # off == 0 for every lane at the first sub-block.
+                for t in range(Ws):
+                    w[t] = wl[t]
+                off = loff
+            else:
+                # Merge the local window into the block buffer at bit
+                # offset off: bit-level funnel to the phase (off & 31),
+                # then a word-level barrel by d = (off>>5) - j_anchor
+                # (d in [0, maxshift]: off is between s*S*min_len and
+                # s*S*max_len), then fixed-position ORs from j_anchor.
+                rel = (off & 31).astype(jnp.uint32)
+                wlf = []
+                for t in range(Ws + 1):
+                    cur = (wl[t] >> rel) if t < Ws else zero
+                    if t > 0:
+                        cur = cur | (
+                            (wl[t - 1] << (jnp.uint32(31) - rel)) << jnp.uint32(1)
+                        )
+                    wlf.append(cur)
+                j_anchor = (s * S * min_len) >> 5
+                maxshift = ((s * S * max_len) >> 5) - j_anchor
+                width = min(Ws + 1 + maxshift, Wb - j_anchor)
+                buf = wlf + [zero] * max(0, width - (Ws + 1))
+                buf = buf[:width]
+                d = (off >> 5) - j_anchor
+                k = 1 << max(0, maxshift.bit_length() - 1)
+                while k >= 1:
+                    sel = (d & k) != 0
+                    buf = [
+                        jnp.where(sel, buf[t - k] if t - k >= 0 else zero, buf[t])
+                        for t in range(width)
+                    ]
+                    k //= 2
+                for t in range(width):
+                    w[j_anchor + t] = w[j_anchor + t] | buf[t]
+                off = off + loff
         for j in range(Wb):
             rows_ref[j] = w[j]
         bits_ref[0] = off
@@ -270,7 +353,8 @@ def _encode_pipeline(
     B = G * LANES
     staged = syms_padded_u32.reshape(G, 8, 128, K4).transpose(0, 3, 1, 2)
     rows, bits, bad = _make_pack_call(
-        p32t, lent, K, Wb, G, min_len, max_len, interpret
+        p32t, lent, K, Wb, G, min_len, max_len, interpret,
+        _sub_block(K, min_len, max_len),
     )(staged, nsym.reshape(G, 8, 128))
     rows = rows.reshape(G, Wb, 8, 128).transpose(0, 2, 3, 1).reshape(B, Wb)
     bits_flat = bits.reshape(B)
@@ -290,29 +374,36 @@ def _encode_pipeline(
         (prev << ((jnp.uint32(31) - rel[:, None]))) << jnp.uint32(1)
     )
 
-    # Word-level barrel: place the Wb+1 words at column (offs>>5)&31 of an
-    # nrows*32-word buffer, so the scatter becomes nrows 32-wide ROW
+    # Word-level barrel: place the Wb+1 words at column (offs>>5)&(SW-1) of
+    # an nrows*SW-word buffer, so the scatter becomes nrows SW-wide ROW
     # scatters. Scatter cost is dominated by index count (~19-29 ns/index,
     # scripts/prof/prof_scatter.py / prof_sorted_hints.py); fat rows
-    # amortize it, and larger K (fewer, fatter blocks) amortizes further —
-    # the K=32 -> 64 move alone took the pipeline 11.3 -> 7.5 ms at 8 MiB
-    # (scripts/prof/prof_encode_prod.py).
-    nrows = -(-(Wb + 32) // 32)  # Wb+1 words shifted right by up to 31
-    W64 = 32 * nrows
-    a = ((offs >> 5) & 31).astype(jnp.int32)
+    # amortize it. SW=128 beat 32 decisively under the honest in-loop
+    # protocol (full pipeline at 8 MiB, K=256: 0.88 ms vs 1.25 ms —
+    # scripts/prof/prof_true_scatter_variants.py): the wider barrel roll's
+    # extra elementwise traffic costs less than the 4x scatter-index
+    # reduction saves. Adds stay duplicate-tolerant (no unique_indices):
+    # two blocks can share a SW-word row whenever K*min_len < 32*SW bits.
+    SW = 128
+    nrows = -(-(Wb + SW) // SW)  # Wb+1 words shifted right by up to SW-1
+    Wtot = SW * nrows
+    a = ((offs >> 5) & (SW - 1)).astype(jnp.int32)
     buf = jnp.concatenate(
-        [shifted, jnp.zeros((B, W64 - (Wb + 1)), jnp.uint32)], axis=1
+        [shifted, jnp.zeros((B, Wtot - (Wb + 1)), jnp.uint32)], axis=1
     )
-    for k in (16, 8, 4, 2, 1):
-        rolled = jnp.pad(buf, ((0, 0), (k, 0)))[:, :W64]
+    k = SW // 2
+    while k >= 1:
+        rolled = jnp.pad(buf, ((0, 0), (k, 0)))[:, :Wtot]
         buf = jnp.where((a[:, None] & k) != 0, rolled, buf)
+        k //= 2
 
-    r0 = offs >> 10  # 32-word output row index (offs is a cumsum => sorted)
-    W32 = num_out_words // 32
-    out2d = jnp.zeros((W32, 32), dtype=jnp.uint32)
+    # SW-word output row index (offs is a cumsum => sorted, maybe w/ dups).
+    r0 = offs >> (5 + SW.bit_length() - 1)
+    Wr = num_out_words // SW
+    out2d = jnp.zeros((Wr, SW), dtype=jnp.uint32)
     for t in range(nrows):
         out2d = out2d.at[r0 + t].add(
-            buf[:, 32 * t : 32 * (t + 1)], mode="drop", indices_are_sorted=True
+            buf[:, SW * t : SW * (t + 1)], mode="drop", indices_are_sorted=True
         )
     words = out2d.reshape(num_out_words)
 
@@ -355,10 +446,11 @@ def _plan(table: HuffmanTable, n: int, K: int = 32):
     Wb = -(-(K * max_len) // 32)
     B = -(-max(n, 1) // K)
     G = -(-B // LANES)
-    # Bucket the output length to a power of two (>=64) so nearby input
-    # sizes share one compilation; extra words are zero and sliced off.
+    # Bucket the output length to a power of two (>=128, the stitch's
+    # scatter-row width SW) so nearby input sizes share one compilation;
+    # extra words are zero and sliced off.
     needed = -(-(n * max_len) // 32) + 2
-    num_out_words = max(64, 1 << (needed - 1).bit_length())
+    num_out_words = max(128, 1 << (needed - 1).bit_length())
     return p32t, lent, min_len, max_len, Wb, G, num_out_words
 
 
