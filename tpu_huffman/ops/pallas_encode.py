@@ -110,30 +110,50 @@ def _make_pack_call(p32t, lent, K: int, Wb: int, G: int,
     K4 = K // 4
     if S is None:
         S = K
-    # Symbol -> (pattern, length) is two direct 256-entry LUTs, each as a
-    # pair of lane-axis tpu.dynamic_gather lookups over a 128-wide table
-    # row broadcast across sublanes (+ a bit-7 select). One gather-based
-    # 256-LUT costs ~13 VPU cycles vs ~27 for the packed select tree it
-    # replaced, and the direct tables also delete the rank->length
-    # interval scan (scripts/prof: gather 0.0132 vs tree 0.0272 ns/lookup
-    # above a common floor).
+    # Symbol -> (pattern, length) via direct 256-entry LUTs as lane-axis
+    # tpu.dynamic_gather lookups over 128-wide table rows broadcast across
+    # sublanes (+ a bit-7 select). One gather-based 256-LUT costs ~13 VPU
+    # cycles vs ~27 for the packed select tree it replaced, and the direct
+    # tables also delete the rank->length interval scan (scripts/prof:
+    # gather 0.0132 vs tree 0.0272 ns/lookup above a common floor).
+    # When max_len <= 26 the left-aligned pattern's low 6 bits are zero, so
+    # pattern and length FUSE into one entry (pattern | length): one
+    # gather pair + mask instead of two pairs — halves the lookup cost.
     p32_np = np.asarray(p32t, dtype=np.uint64).astype(np.uint32)
-    p32_np = p32_np.view(np.int32)
     len_np = np.asarray(lent, dtype=np.int32)
-    tbl_np = np.stack(
-        [
-            np.broadcast_to(p32_np[:128], (8, 128)),
-            np.broadcast_to(p32_np[128:], (8, 128)),
-            np.broadcast_to(len_np[:128], (8, 128)),
-            np.broadcast_to(len_np[128:], (8, 128)),
-        ]
-    )
+    fused = max_len <= 26
+    if fused:
+        ent_np = (p32_np | len_np.astype(np.uint32)).view(np.int32)
+        tbl_np = np.stack(
+            [
+                np.broadcast_to(ent_np[:128], (8, 128)),
+                np.broadcast_to(ent_np[128:], (8, 128)),
+            ]
+        )
+    else:
+        tbl_np = np.stack(
+            [
+                np.broadcast_to(p32_np.view(np.int32)[:128], (8, 128)),
+                np.broadcast_to(p32_np.view(np.int32)[128:], (8, 128)),
+                np.broadcast_to(len_np[:128], (8, 128)),
+                np.broadcast_to(len_np[128:], (8, 128)),
+            ]
+        )
 
     def lookup(sym, luts):
         """sym u32[8,128] -> (p32 left-aligned u32, ln i32; ln==0 unknown)."""
         idx = sym.astype(jnp.int32)
         lo = idx & 127
         hi = idx >= 128
+        if fused:
+            elo, ehi = luts
+            e = jnp.where(
+                hi,
+                jnp.take_along_axis(ehi, lo, axis=1),
+                jnp.take_along_axis(elo, lo, axis=1),
+            )
+            eu = jax.lax.bitcast_convert_type(e, jnp.uint32)
+            return eu & jnp.uint32(0xFFFFFFC0), (e & 63).astype(jnp.int32)
         plo, phi, llo, lhi = luts
         p = jnp.where(
             hi,
@@ -151,8 +171,10 @@ def _make_pack_call(p32t, lent, K: int, Wb: int, G: int,
     S4 = S // 4
     Ws = -(-(S * max_len) // 32) if nsub > 1 else Wb
 
+    n_luts = tbl_np.shape[0]
+
     def kernel(syms_ref, nsym_ref, luts_ref, rows_ref, bits_ref, bad_ref):
-        luts = tuple(luts_ref[t] for t in range(4))
+        luts = tuple(luts_ref[t] for t in range(n_luts))
         ns = nsym_ref[0]
         zero = jnp.zeros((8, 128), jnp.uint32)
         w = [zero for _ in range(Wb)]
