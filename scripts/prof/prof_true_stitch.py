@@ -54,7 +54,8 @@ def make_body(K, stage):
             return s ^ words.sum(dtype=jnp.uint32) ^ tb.astype(jnp.uint32)
         staged = syms_u32.reshape(G, 8, 128, K4).transpose(0, 3, 1, 2)
         rows, bits, bad = pe._make_pack_call(
-            p32t, lent, K, Wb, G, min_len, max_len, interpret
+            p32t, lent, K, Wb, G, min_len, max_len, interpret,
+            pe._sub_block(K, min_len, max_len),
         )(staged, nsym.reshape(G, 8, 128))
         if stage == "pack":
             return s ^ rows.sum(dtype=jnp.uint32) ^ bits.sum().astype(jnp.uint32)

@@ -285,7 +285,7 @@ def encode_with_index(
     if _pallas_fast_path(table):
         from . import pallas_encode
 
-        k = pallas_encode.pack_k(table)
+        k = pallas_encode.offset_granularity(table)
     else:
         k = 0
     if k and block_symbols % k == 0:

@@ -87,8 +87,14 @@ def _sub_block(K: int, min_len: int, max_len: int) -> int:
     the window by S. S=64 measured fastest at K=256 on the static table
     (scripts/prof/prof_true_pack_sub.py). Must divide K; fixed-length
     tables (min==max) keep windows width-2 regardless, so skip."""
-    if min_len == max_len or K <= 64:
+    if K <= 64:
         return K
+    if min_len == max_len:
+        # Fixed-length tables keep width-2 pack windows from a single
+        # anchor, but S also sets the granularity of the free bit-offset
+        # side output (offset_granularity): cap it so the decode index
+        # (256 symbols) stays derivable at large K.
+        return min(K, 256)
     for s in (64, 32, 28, 20, 16, 12, 8, 4):
         if K % s == 0:
             return s
@@ -228,6 +234,7 @@ def _make_pack_call(p32t, lent, K: int, Wb: int, G: int,
                         wl[j] = wl[j] | vv
                         eq_prev = eq
                     loff = loff + ln
+            bits_ref[s] = loff  # this sub-block's bit count (side output)
             if nsub == 1:
                 off = loff
             elif s == 0:
@@ -269,7 +276,6 @@ def _make_pack_call(p32t, lent, K: int, Wb: int, G: int,
                 off = off + loff
         for j in range(Wb):
             rows_ref[j] = w[j]
-        bits_ref[0] = off
         bad_ref[0] = bad.astype(jnp.int32)
 
     grid_spec = pl.GridSpec(
@@ -281,7 +287,7 @@ def _make_pack_call(p32t, lent, K: int, Wb: int, G: int,
         ],
         out_specs=[
             pl.BlockSpec((Wb, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nsub, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
         ],
     )
@@ -290,7 +296,7 @@ def _make_pack_call(p32t, lent, K: int, Wb: int, G: int,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((G * Wb, 8, 128), jnp.uint32),
-            jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((G * nsub, 8, 128), jnp.int32),
             jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
         ],
         interpret=interpret,
@@ -368,21 +374,24 @@ def _encode_pipeline(
     """Full fused encode: pack kernel + hierarchical offsets + stitch.
 
     Returns (words u32[num_out_words], total_bits, padded_bits, bad_any,
-    offs i32[B] — each K-symbol block's absolute starting bit, free from
-    the prefix sum; callers derive coarser decode indexes from it).
+    offs_sub i32[B*nsub] — the absolute starting bit of every S-symbol
+    sub-block (S = _sub_block(K, ...)), free from the prefix sum; callers
+    derive coarser decode indexes from it).
     """
     K4 = K // 4
     B = G * LANES
+    S = _sub_block(K, min_len, max_len)
+    nsub = K // S
     staged = syms_padded_u32.reshape(G, 8, 128, K4).transpose(0, 3, 1, 2)
     rows, bits, bad = _make_pack_call(
-        p32t, lent, K, Wb, G, min_len, max_len, interpret,
-        _sub_block(K, min_len, max_len),
+        p32t, lent, K, Wb, G, min_len, max_len, interpret, S
     )(staged, nsym.reshape(G, 8, 128))
     rows = rows.reshape(G, Wb, 8, 128).transpose(0, 2, 3, 1).reshape(B, Wb)
-    bits_flat = bits.reshape(B)
+    bits_sub = bits.reshape(G, nsub, 8, 128).transpose(0, 2, 3, 1).reshape(B * nsub)
     bad_any = jnp.any(bad.reshape(B) > 0)
 
-    offs, total_bits = _exclusive_cumsum_blocks(bits_flat)
+    offs_sub, total_bits = _exclusive_cumsum_blocks(bits_sub)
+    offs = offs_sub[::nsub] if nsub > 1 else offs_sub
     # (A pair-merge halving the scatter's index count was tried here and
     # measured a net ~0.5 ms LOSS at 8 MiB: the merge's roll/funnel traffic
     # exceeds the scatter's savings once indices_are_sorted is set —
@@ -436,7 +445,7 @@ def _encode_pipeline(
     words = words.at[pw + 1].add(
         (pad_p32 << (jnp.uint32(31) - psh)) << jnp.uint32(1), mode="drop"
     )
-    return words, total_bits, total_bits + pad_len, bad_any, offs
+    return words, total_bits, total_bits + pad_len, bad_any, offs_sub
 
 
 def supports(table: HuffmanTable) -> bool:
@@ -479,11 +488,15 @@ def _plan(table: HuffmanTable, n: int, K: int = 32):
 def pack_k(table: HuffmanTable) -> int:
     """Kernel block size (symbols per lane) for this table.
 
-    Targets Wb = ceil(K*max_len/32) ~= 80 VMEM words per lane: the K sweep
-    at 8 MiB on the static table (max_len 10) measured 10.5 ms @K=32,
-    7.6 @64, 5.7 @128, 5.3 @256 (scripts/prof/prof_encode_prod.py) — bigger
-    blocks amortize the stitch scatter's per-index cost — while deep tables
-    need smaller K to keep the kernel's per-lane row buffer from spilling.
+    Targets Wb = ceil(K*max_len/32) ~= 320 VMEM words per lane. Under the
+    honest in-loop protocol the final row scatter's per-index cost is the
+    pipeline's dominant term (scripts/prof/prof_true_stitch.py: 266 us
+    pack+mid vs ~520 us scatter at K=256), and its index count is 2*N/K,
+    so bigger blocks win: the full-pipeline K sweep on the static table
+    (max_len 10) measured 785 us @K=256, 670 @512, 562 @1024, 592 @2048,
+    682 @4096 (scripts/prof/prof_true_encode_k.py). Non-power-of-two K
+    (384, 768) hit a ~6x Mosaic layout cliff — stick to powers of two.
+    Deep tables scale K down to keep the per-lane row buffer in VMEM.
     """
     if _use_interpret():
         # Off-TPU the kernel runs in the Pallas interpreter, where the
@@ -492,7 +505,18 @@ def pack_k(table: HuffmanTable) -> int:
         return 32
     lens = table.lengths[table.lengths > 0]
     max_len = int(lens.max()) if lens.size else 1
-    return max(32, min(256, (2560 // max_len) // 4 * 4))
+    budget = max(32, 10240 // max_len)
+    return min(1024, 1 << (budget.bit_length() - 1))
+
+
+def offset_granularity(table: HuffmanTable) -> int:
+    """Granularity (symbols) of the bit offsets the encode pipeline emits
+    for free: one per pack-kernel re-anchor sub-block."""
+    k = pack_k(table)
+    lens = table.lengths[table.lengths > 0]
+    if lens.size == 0:
+        return k
+    return _sub_block(k, int(lens.min()), int(lens.max()))
 
 
 def encode_step(table: HuffmanTable, n: int, block_symbols: int = 192,
@@ -535,7 +559,8 @@ def encode_step(table: HuffmanTable, n: int, block_symbols: int = 192,
 
 def _run(symbols: np.ndarray, table: HuffmanTable, eos_padding: int):
     """Shared one-shot driver: returns (words_dev, total_bits, padded_bits,
-    offs_dev at pack_k(table) granularity). Raises UnknownSymbolError."""
+    offs_dev at offset_granularity(table) granularity). Raises
+    UnknownSymbolError."""
     from ..errors import UnknownSymbolError
 
     n = symbols.size
@@ -587,25 +612,25 @@ def encode(data, table: HuffmanTable, eos_padding: int = 0xFF):
 
 
 def index_granularity(table: HuffmanTable) -> int:
-    """Default BlockIndex granularity: the multiple of pack_k(table)
-    nearest the measured sweet spot K=256 (gather-LUT kernel sweep:
-    4.20 ms @256 vs 4.35 @192, 4.39 @128, 4.41 @512 on 8 MiB,
-    scripts/prof/prof_decode_k.py); supports() caps symbols_per_block
+    """Default BlockIndex granularity: the multiple of offset_granularity
+    nearest the measured decode sweet spot K=256 (loop-protocol sweep:
+    0.77 ms @128, 0.57 @256, 0.62 @384, 0.64 @512 on 8 MiB,
+    scripts/prof/prof_true_decode_k.py); supports() caps symbols_per_block
     at 512."""
-    k = pack_k(table)
-    return max(k, min(512, round(256 / k) * k or k))
+    g = offset_granularity(table)
+    return max(g, min(512, round(256 / g) * g or g))
 
 
 def encode_with_offsets(data, table: HuffmanTable, eos_padding: int = 0xFF,
                         every: int | None = None):
     """Encode and return (bytes, total_bits, bit_offsets every ``every``
-    symbols). ``every`` must be a multiple of pack_k(table); None picks
-    index_granularity(table). The offsets come free from the pack
-    pipeline's prefix sum (cf. ops/encode.py encode_with_index, which pays
-    a full scatter kernel for the same)."""
+    symbols). ``every`` must be a multiple of offset_granularity(table);
+    None picks index_granularity(table). The offsets come free from the
+    pack pipeline's prefix sum (cf. ops/encode.py encode_with_index, which
+    pays a full scatter kernel for the same)."""
     from .bitpack import bytes_from_words_np
 
-    k = pack_k(table)
+    k = offset_granularity(table)
     if every is None:
         every = index_granularity(table)
     assert every % k == 0
