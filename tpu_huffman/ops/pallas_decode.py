@@ -204,6 +204,21 @@ def _rows_for(Wb: int) -> int:
     return -(-(Wb + 31) // 32)
 
 
+def _anchor_interval(K: int, mn: int, mx: int) -> int:
+    """Self-re-anchor interval S (symbols): after S symbols the kernel
+    knows its own bit offset, rolls the word buffer left by off>>5 and
+    resets to a <32-bit phase, so every select window is bounded by the
+    LOCAL symbol index il < S instead of the block index i < K — the same
+    trick as the encode kernel's _sub_block, but data-driven (no extra
+    index metadata). Fixed-length tables keep narrow windows anyway."""
+    if K <= 64 or mn == mx:
+        return K
+    for s in (64, 32, 16, 8, 4):
+        if K % s == 0:
+            return s
+    return K
+
+
 @functools.lru_cache(maxsize=64)
 def _make_pallas_call(intervals, p32_flat, K: int, Wb: int, G: int, interpret: bool):
     """Build the pallas_call for a (table-structure, K, Wb, G) combination.
@@ -211,17 +226,19 @@ def _make_pallas_call(intervals, p32_flat, K: int, Wb: int, G: int, interpret: b
     The staged input is NR=ceil((Wb+31)/32) aligned 32-word rows per block;
     the block's first symbol starts ``rel < 1024`` bits into them. The
     kernel barrel-rolls the rows left by ``rel >> 5`` words (5 log steps),
-    then decodes with per-symbol *bounded* select windows: after the roll
-    the entry bit is < 32, so symbol i's word index provably lies in
-    [i*min_len >> 5, (31 + i*max_len) >> 5] and the select tree spans only
-    that slice — the dominant kernel cost drops from O(K * Wb) to
-    O(K * avg_width).
+    then decodes with per-symbol *bounded* select windows: symbol il's
+    word index provably lies in [il*min_len >> 5, (31 + il*max_len) >> 5]
+    where il is the index since the last re-anchor (see _anchor_interval),
+    so the select tree spans only that slice — the dominant kernel cost
+    drops from O(K * K*avg_len/32) to O(K * S*avg_len/32).
     """
     K4 = K // 4
     NR = _rows_for(Wb)
     NW = NR * 32
     lens = [L for (_lo, _hi, L, _sub, _bias) in intervals]
     mn, mx = min(lens), max(lens)
+    S = _anchor_interval(K, mn, mx)
+    nsub = K // S
     # rank -> symbol as a pair of lane-axis tpu.dynamic_gather lookups over
     # 128-wide table rows (2x cheaper than the packed select tree,
     # scripts/prof/prof_dynamic_gather.py; same rework as the encode
@@ -264,14 +281,14 @@ def _make_pallas_call(intervals, p32_flat, K: int, Wb: int, G: int, interpret: b
         while len(w) < Wb + 1:
             w.append(zero)
 
-        def decode_bounded(off, lo, hi):
+        def decode_bounded(wl, off, lo, hi):
             """decode_at with the word index known to lie in [lo, hi]."""
             widx = off >> 5
             sh = (off & 31).astype(jnp.uint32)
             width = hi - lo + 1
             nb = 1 << max(0, (width - 1).bit_length())
-            p0 = [w[lo + j] for j in range(width)] + [w[hi]] * (nb - width)
-            p1 = [w[lo + j + 1] for j in range(width)] + [w[hi + 1]] * (nb - width)
+            p0 = [wl[lo + j] for j in range(width)] + [wl[hi]] * (nb - width)
+            p1 = [wl[lo + j + 1] for j in range(width)] + [wl[hi + 1]] * (nb - width)
             d = widx - lo
             for b in range(max(0, (width - 1).bit_length())):
                 t = ((d >> b) & 1) == 1
@@ -283,20 +300,44 @@ def _make_pallas_call(intervals, p32_flat, K: int, Wb: int, G: int, interpret: b
 
         ns = nsym_ref[0]
         off = rel & 31
-        for s4 in range(K4):
-            packed = jnp.zeros((8, 128), jnp.uint32)
-            for u in range(4):
-                i = s4 * 4 + u
-                lo = (i * mn) >> 5
-                hi = min((31 + i * mx) >> 5, Wb - 1)
-                sym, ln = decode_bounded(off, lo, hi)
-                active = i < ns
-                packed = packed | (
-                    jnp.where(active, sym, jnp.uint32(0)) << jnp.uint32(8 * u)
-                )
-                off = jnp.where(active, off + ln, off)
-            out_ref[s4] = packed
-        end_ref[0] = off + (a << 5)
+        base = a  # words already rolled off the front (for end_ref)
+        S4 = S // 4
+        # Per-re-anchor roll distance d = off>>5 with off <= 31 + S*mx.
+        roll_ks = [k for k in (64, 32, 16, 8, 4, 2, 1) if k <= (31 + S * mx) >> 5]
+        for s in range(nsub):
+            for u4 in range(S4):
+                packed = jnp.zeros((8, 128), jnp.uint32)
+                for v in range(4):
+                    il = u4 * 4 + v
+                    i = s * S + il
+                    lo = (il * mn) >> 5
+                    hi = min((31 + il * mx) >> 5, len(w) - 2)
+                    sym, ln = decode_bounded(w, off, lo, hi)
+                    active = i < ns
+                    packed = packed | (
+                        jnp.where(active, sym, jnp.uint32(0)) << jnp.uint32(8 * v)
+                    )
+                    off = jnp.where(active, off + ln, off)
+                out_ref[s * S4 + u4] = packed
+            if s < nsub - 1:
+                # Self re-anchor: shift the consumed words off the front so
+                # the next sub-block starts <32 bits in. The buffer shrinks
+                # to what the remaining symbols can possibly touch.
+                d = off >> 5
+                # Worst case: entry phase <32 bits + rem*mx code bits + a
+                # 32-bit lookahead window + the select pair's +1 word.
+                need = min(len(w), ((((nsub - 1 - s) * S) * mx + 31) >> 5) + 3)
+                rem = sum(roll_ks)
+                for k in roll_ks:
+                    rem -= k
+                    t = (d & k) != 0
+                    w = [
+                        jnp.where(t, w[j + k] if j + k < len(w) else zero, w[j])
+                        for j in range(min(len(w), need + rem))
+                    ]
+                base = base + d
+                off = off - (d << 5)
+        end_ref[0] = off + (base << 5)
 
     grid_spec = pl.GridSpec(
         grid=(G,),
