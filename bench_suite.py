@@ -8,10 +8,11 @@ Prints one JSON line per config (same schema as bench.py). Configs:
   streaming    — chunked SHORT_BUFFER-protocol round trip, 1 MiB output
                  chunks (BASELINE config 4, scaled to --stream-mb)
 
-Protocol per MEASURING.md (REVISED): dependency-chain timing — on this rig
-``block_until_ready`` on large device outputs returns on dispatch-ack, so
-each timed step feeds its full output back into the next step's input and
-one sync closes the chain. Transfers and correctness checks come after.
+Protocol per MEASURING.md (REVISED 2026-08-18): in-program loop slope —
+the same ``lax.fori_loop`` carry-chain protocol as bench.py (dependency
+chains still pay ~2 ms of dispatch overhead PER STEP on this rig and
+overstate small kernels; the loop slope cancels it). Transfers and
+correctness checks come after the clocks stop.
 """
 
 from __future__ import annotations
@@ -66,21 +67,27 @@ def english_like_corpus(n: int, seed: int = 7) -> bytes:
     return rng.choice(alphabet, size=n, p=weights).astype(np.uint8).tobytes()
 
 
-def _chain_time(step, x0, reps):
-    """True per-call seconds via dependency-chain timing (MEASURING.md §1)."""
-    import jax
+def _loop_time(body, k_lo=9, k_hi=65, reps=3):
+    """True per-iteration seconds via in-program loop slope (bench.py)."""
+    import functools
 
-    x = step(x0)
-    jax.block_until_ready(x)
-    best = float("inf")
-    for _ in range(2):
-        x = x0
-        t0 = time.perf_counter()
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def run(seed, k):
+        return jax.lax.fori_loop(0, k, body, seed)
+
+    tot = {}
+    for k in (k_lo, k_hi):
+        int(run(jnp.uint32(1), k))  # compile + warm
+        best = float("inf")
         for _ in range(reps):
-            x = step(x)
-        jax.block_until_ready(x)
-        best = min(best, (time.perf_counter() - t0) / reps)
-    return best
+            t0 = time.perf_counter()
+            int(run(jnp.uint32(1), k))
+            best = min(best, time.perf_counter() - t0)
+        tot[k] = best
+    return (tot[k_hi] - tot[k_lo]) / (k_hi - k_lo)
 
 
 def bench_corpus(name, data_np, table, K, reps, emit):
@@ -104,12 +111,12 @@ def bench_corpus(name, data_np, table, K, reps, emit):
 
     encode_fn, enc_finalize = best_encode_step(table, n, K)
 
-    @jax.jit
-    def enc_step(sym):
+    def enc_body(i, carry):
+        sym = symbols ^ carry.astype(jnp.uint8)
         words, total_bits, padded_bits = encode_fn(sym)
-        return words[: n // 4].view(jnp.uint8)[:n]
+        return carry ^ words.sum(dtype=jnp.uint32) ^ total_bits.astype(jnp.uint32)
 
-    enc_s = _chain_time(enc_step, symbols, reps)
+    enc_s = _loop_time(enc_body)
 
     ot = oracle.OracleTable(table)
     encoded = oracle.OracleEncoder(ot).encode(data)
@@ -135,15 +142,18 @@ def bench_corpus(name, data_np, table, K, reps, emit):
     jw, jb, jr, jn = map(jnp.asarray, (words_np, base, rel, nsm))
     interp = _use_interpret()
 
-    @jax.jit
-    def dec_step(w):
+    def dec_body(i, carry):
+        w = jw ^ carry
         out, end = _decode_pipeline(
             w, jb, jr, jn, K, Wb, G, struct.intervals, p32_flat, interp
         )
-        s = out.sum(dtype=jnp.uint32) + end.sum(dtype=jnp.int32).astype(jnp.uint32)
-        return w ^ s
+        return (
+            carry
+            ^ out.sum(dtype=jnp.uint32)
+            ^ end.sum(dtype=jnp.int32).astype(jnp.uint32)
+        )
 
-    dec_s = _chain_time(dec_step, jw, reps)
+    dec_s = _loop_time(dec_body)
 
     # clocks stopped: verify
     enc_out = enc_finalize(symbols)
@@ -282,7 +292,7 @@ def main():
     if config == "ascii_text":
         table = th.load_static_test_table()
         corpus = np.frombuffer(english_like_corpus(n), dtype=np.uint8)
-        bench_corpus("ascii_text", corpus, table, 128, args.repeats, emit)
+        bench_corpus("ascii_text", corpus, table, 256, args.repeats, emit)
     elif config == "table_5_30":
         t530 = th.make_canonical(mixed_lengths_5_30(), name="mixed_5_30")
         assert t530.max_len >= 25, t530.max_len
@@ -293,7 +303,7 @@ def main():
         w = np.where(lens > 0, 2.0 ** -lens, 0.0)
         w = w / w.sum()
         corpus = rng.choice(256, size=n, p=w).astype(np.uint8)
-        bench_corpus("table_5_30", corpus, t530, 64, args.repeats, emit)
+        bench_corpus("table_5_30", corpus, t530, 256, args.repeats, emit)
     elif config == "streaming":
         table = th.load_static_test_table()
         bench_streaming(table, args.stream_mb, args.chunk_mb, emit)
