@@ -1,13 +1,15 @@
 """Fine-grained stage split of the encode STITCH (everything after the
-pack kernel) under the TRUE in-program loop protocol. Cumulative stages:
+pack kernel) under the TRUE in-program loop protocol. Mirrors the
+production pipeline (ops/pallas_encode.py _encode_pipeline) stage by
+stage. Cumulative stages:
 
   pack     — staging + pack kernel
-  relayout — + rows (G,Wb,8,128) -> (B,Wb) transpose
-  cumsum   — + hierarchical block prefix sum
+  relayout — + rows (G,Wb,8,128) -> (B,Wb) transpose + sub-bits transpose
+  cumsum   — + hierarchical sub-block prefix sum
   funnel   — + bit-level funnel shift to (B, Wb+1)
-  barrel   — + 5-stage word-level barrel roll to (B, W64)
-  scatter  — + nrows row scatter-adds into (W32, 32)
-  full     — entire production pipeline (adds eos padding)
+  barrel   — + 7-stage word-level barrel roll to (B, SW*nrows), SW=128
+  scatter  — + nrows 128-wide row scatter-adds (production minus eos pad)
+  full     — entire production pipeline
 
 Usage: python prof_true_stitch.py [K ...]
 """
@@ -27,7 +29,7 @@ N = 8 * 1024 * 1024
 rng = np.random.default_rng(2024)
 symbols = jnp.asarray(rng.integers(0, 256, size=N, dtype=np.uint8))
 
-KS = [int(a) for a in sys.argv[1:]] or [256]
+KS = [int(a) for a in sys.argv[1:]] or [1024]
 STAGES = ("pack", "relayout", "cumsum", "funnel", "barrel", "scatter", "full")
 
 
@@ -38,7 +40,8 @@ def make_body(K, stage):
     nsym = jnp.asarray(np.full(B, K, np.int32))
     pad_to = B * K
     interpret = pe._use_interpret()
-    LANES = pe.LANES
+    S = pe._sub_block(K, min_len, max_len)
+    nsub = K // S
 
     def body(i, s):
         syms = symbols ^ s.astype(jnp.uint8)
@@ -54,16 +57,16 @@ def make_body(K, stage):
             return s ^ words.sum(dtype=jnp.uint32) ^ tb.astype(jnp.uint32)
         staged = syms_u32.reshape(G, 8, 128, K4).transpose(0, 3, 1, 2)
         rows, bits, bad = pe._make_pack_call(
-            p32t, lent, K, Wb, G, min_len, max_len, interpret,
-            pe._sub_block(K, min_len, max_len),
+            p32t, lent, K, Wb, G, min_len, max_len, interpret, S
         )(staged, nsym.reshape(G, 8, 128))
         if stage == "pack":
             return s ^ rows.sum(dtype=jnp.uint32) ^ bits.sum().astype(jnp.uint32)
         rows2 = rows.reshape(G, Wb, 8, 128).transpose(0, 2, 3, 1).reshape(B, Wb)
-        bits_flat = bits.reshape(B)
+        bits_sub = bits.reshape(G, nsub, 8, 128).transpose(0, 2, 3, 1).reshape(B * nsub)
         if stage == "relayout":
-            return s ^ rows2.sum(dtype=jnp.uint32) ^ bits_flat.sum().astype(jnp.uint32)
-        offs, total_bits = pe._exclusive_cumsum_blocks(bits_flat)
+            return s ^ rows2.sum(dtype=jnp.uint32) ^ bits_sub.sum().astype(jnp.uint32)
+        offs_sub, total_bits = pe._exclusive_cumsum_blocks(bits_sub)
+        offs = offs_sub[::nsub] if nsub > 1 else offs_sub
         if stage == "cumsum":
             return (
                 s ^ rows2.sum(dtype=jnp.uint32)
@@ -77,23 +80,26 @@ def make_body(K, stage):
         )
         if stage == "funnel":
             return s ^ shifted.sum(dtype=jnp.uint32) ^ total_bits.astype(jnp.uint32)
-        nrows = -(-(Wb + 32) // 32)
-        W64 = 32 * nrows
-        a = ((offs >> 5) & 31).astype(jnp.int32)
+        SW = 128
+        nrows = -(-(Wb + SW) // SW)
+        Wtot = SW * nrows
+        a = ((offs >> 5) & (SW - 1)).astype(jnp.int32)
         buf = jnp.concatenate(
-            [shifted, jnp.zeros((B, W64 - (Wb + 1)), jnp.uint32)], axis=1
+            [shifted, jnp.zeros((B, Wtot - (Wb + 1)), jnp.uint32)], axis=1
         )
-        for k in (16, 8, 4, 2, 1):
-            rolled = jnp.pad(buf, ((0, 0), (k, 0)))[:, :W64]
+        k = SW // 2
+        while k >= 1:
+            rolled = jnp.pad(buf, ((0, 0), (k, 0)))[:, :Wtot]
             buf = jnp.where((a[:, None] & k) != 0, rolled, buf)
+            k //= 2
         if stage == "barrel":
             return s ^ buf.sum(dtype=jnp.uint32) ^ total_bits.astype(jnp.uint32)
-        r0 = offs >> 10
-        W32 = num_out_words // 32
-        out2d = jnp.zeros((W32, 32), dtype=jnp.uint32)
+        r0 = offs >> (5 + SW.bit_length() - 1)
+        Wr = num_out_words // SW
+        out2d = jnp.zeros((Wr, SW), dtype=jnp.uint32)
         for t in range(nrows):
             out2d = out2d.at[r0 + t].add(
-                buf[:, 32 * t : 32 * (t + 1)], mode="drop",
+                buf[:, SW * t : SW * (t + 1)], mode="drop",
                 indices_are_sorted=True,
             )
         return s ^ out2d.sum(dtype=jnp.uint32) ^ total_bits.astype(jnp.uint32)

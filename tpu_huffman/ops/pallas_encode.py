@@ -387,11 +387,31 @@ def _encode_pipeline(
         p32t, lent, K, Wb, G, min_len, max_len, interpret, S
     )(staged, nsym.reshape(G, 8, 128))
     rows = rows.reshape(G, Wb, 8, 128).transpose(0, 2, 3, 1).reshape(B, Wb)
-    bits_sub = bits.reshape(G, nsub, 8, 128).transpose(0, 2, 3, 1).reshape(B * nsub)
     bad_any = jnp.any(bad.reshape(B) > 0)
 
-    offs_sub, total_bits = _exclusive_cumsum_blocks(bits_sub)
-    offs = offs_sub[::nsub] if nsub > 1 else offs_sub
+    # Block offsets come from per-block totals in the kernel's native
+    # (G, nsub, 8, 128) layout — no transpose on the hot path. The
+    # sub-block offsets (the free index side output) are assembled in
+    # stream order only at the end; when the caller drops them (the
+    # fixed-shape bench/entry seam) XLA DCEs that minor-dim-16 transpose,
+    # which measured ~160 us at 8 MiB (scripts/prof/prof_true_stitch.py).
+    bits4 = bits.reshape(G, nsub, 8, 128)
+    incl = bits4
+    k = 1
+    while k < nsub:
+        incl = incl + jnp.pad(incl, ((0, 0), (k, 0), (0, 0), (0, 0)))[:, :nsub]
+        k *= 2
+    bt = incl[:, -1].reshape(B)  # per-block bit totals, b-order
+    offs, total_bits = _exclusive_cumsum_blocks(bt)
+    if nsub > 1:
+        excl4 = incl - bits4
+        offs_sub = (
+            (excl4 + offs.reshape(G, 1, 8, 128))
+            .transpose(0, 2, 3, 1)
+            .reshape(B * nsub)
+        )
+    else:
+        offs_sub = offs
     # (A pair-merge halving the scatter's index count was tried here and
     # measured a net ~0.5 ms LOSS at 8 MiB: the merge's roll/funnel traffic
     # exceeds the scatter's savings once indices_are_sorted is set —
