@@ -40,7 +40,9 @@ def hpack_decode_field(blob: bytes, table: th.HuffmanTable) -> bytes:
 
 
 def main():
-    table = th.load_static_test_table()
+    # The real RFC 7541 Appendix B code (what aws-c-http ships); swap in
+    # th.load_static_test_table() for the reference repo's test table.
+    table = th.load_hpack_table()
     headers = {
         b":method": b"GET",
         b":path": b"/index.html?q=tpu+huffman",

@@ -36,6 +36,7 @@ from .tables import (
     CodeSpec,
     HuffmanTable,
     build_table,
+    load_hpack_table,
     load_static_test_table,
     make_canonical,
     optimal_code_lengths,
@@ -89,6 +90,7 @@ __all__ = [
     "library_clean_up",
     "library_init",
     "library_is_initialized",
+    "load_hpack_table",
     "load_static_test_table",
     "make_canonical",
     "optimal_code_lengths",

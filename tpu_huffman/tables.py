@@ -446,3 +446,19 @@ def load_static_test_table() -> HuffmanTable:
     return HuffmanTable.from_tsv_file(
         os.path.join(_DATA_DIR, "static_table.tsv"), name="static_test"
     )
+
+
+def load_hpack_table() -> HuffmanTable:
+    """The RFC 7541 (HPACK) Appendix B static Huffman table, symbols 0-255
+    (max code length 30) — the code the reference's downstream consumer
+    aws-c-http ships as generated C (reference: builder.json:6-8,
+    README.md:176-183).
+
+    HPACK's EOS symbol (256) is not a byte symbol: RFC 7541 §5.2 uses its
+    most-significant bits as end-of-string padding, which the default
+    ``eos_padding=0xFF`` (all ones) reproduces bit-exactly; validate
+    incoming padding with ``HuffmanDecoder.padding_is_all_ones()``.
+    """
+    return HuffmanTable.from_tsv_file(
+        os.path.join(_DATA_DIR, "hpack_rfc7541.tsv"), name="hpack_rfc7541"
+    )
