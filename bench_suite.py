@@ -100,6 +100,7 @@ def bench_corpus(name, data_np, table, K, reps, emit):
     from tpu_huffman.ops.pallas_decode import (
         LANES, _decode_pipeline, _use_interpret, structure_for, supports,
     )
+    from tpu_huffman.ops.decode import BlockIndex
     from tpu_huffman import oracle
 
     n = data_np.size
@@ -134,7 +135,9 @@ def bench_corpus(name, data_np, table, K, reps, emit):
     B = n_blocks
     G = -(-B // LANES)
     Bp = G * LANES
-    Wb = (K * table.max_len + 31) // 32 + 2
+    from tpu_huffman.ops.pallas_decode import plan_wb
+    index = BlockIndex(K, offsets.astype(np.int64), n_sym, n, int(ends[-1]))
+    Wb = plan_wb(index, table)
     base = np.zeros(Bp, np.int32); rel = np.zeros(Bp, np.int32); nsm = np.zeros(Bp, np.int32)
     base[:B] = offsets >> 5
     rel[:B] = offsets & 31

@@ -415,6 +415,29 @@ def _decode_pipeline(words, base, rel, nsym, K, Wb, G, intervals, p32_flat, inte
     return out, end
 
 
+def plan_wb(index, table: HuffmanTable) -> int:
+    """Per-block word-window size for this (stream, index) pair.
+
+    The static bound K*max_len assumes every code in a block is maximal;
+    for compressible data (or deep tables with a matched corpus) the real
+    max block span is far smaller — on the 5-30-bit table with a matched
+    corpus it is ~4x smaller, and staging volume scales with Wb. The index
+    gives every block's actual span, so size the window from the data:
+    rel (<32) + span bits + a 32-bit lookahead window at the last symbol +
+    the select pair's +1 word. Rounded up to a multiple of 8 so nearby
+    streams share a compilation (the jit/pallas cache keys on Wb).
+    """
+    K = index.symbols_per_block
+    static_wb = (K * table.max_len + 31) // 32 + 2
+    off = index.bit_offsets.astype(np.int64)
+    if off.size == 0:
+        return static_wb
+    spans = np.diff(off, append=np.int64(index.total_bits))
+    max_span = int(spans.max()) if spans.size else 0
+    need = (max_span + 94) // 32 + 2
+    return min(static_wb, -(-need // 8) * 8)
+
+
 def supports(table: HuffmanTable, symbols_per_block: int) -> bool:
     """Can the Pallas fast path decode this (table, index) combination?"""
     return (
@@ -448,7 +471,7 @@ def decode_indexed_pallas(
     B = index.bit_offsets.size
     G = -(-B // LANES)
     Bp = G * LANES
-    Wb = (K * table.max_len + 31) // 32 + 2
+    Wb = plan_wb(index, table)
     base = np.zeros(Bp, np.int32)
     rel = np.zeros(Bp, np.int32)
     nsym = np.zeros(Bp, np.int32)
