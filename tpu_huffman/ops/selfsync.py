@@ -40,7 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..errors import UnknownSymbolError
 from ..tables import HuffmanTable
 from .bitpack import words_from_bytes_np
-from .pallas_decode import LANES, _make_decode_step, _use_interpret, structure_for
+from .pallas_decode import LANES, _use_interpret, structure_for
 
 SEG_WORDS = 32                  # 1024 bits per segment
 SEG_BITS = SEG_WORDS * 32
@@ -52,29 +52,103 @@ def _make_selfsync_call(intervals, p32_flat, max_syms: int, G: int, interpret: b
                         seg_words: int = SEG_WORDS):
     Wb = seg_words + SEG_SLACK
     K4 = -(-max_syms // 4)
+    lens = [L for (_lo, _hi, L, _sub, _bias) in intervals]
+    mx = max(lens)
+    A = 16  # self-re-anchor interval (symbols), same trick as pallas_decode
 
-    def kernel(win_ref, entry_ref, out_ref, exit_ref, bad_ref):
-        decode_at = _make_decode_step(
-            [win_ref[0, j] for j in range(Wb)], Wb, intervals, p32_flat
-        )
-        off = entry_ref[0]
+    perm_np = np.zeros(256, np.int32)
+    for m, word in enumerate(p32_flat):
+        aq, wq = divmod(m, 4)
+        for kk in range(4):
+            perm_np[aq * 16 + wq * 4 + kk] = (word >> (8 * kk)) & 0xFF
+    perm_tbl_np = np.stack(
+        [
+            np.broadcast_to(perm_np[:128], (8, 128)),
+            np.broadcast_to(perm_np[128:], (8, 128)),
+        ]
+    )
+
+    def kernel(win_ref, entry_ref, perm_ref, out_ref, exit_ref, bad_ref):
+        from .pallas_decode import _interval_decode
+
+        zero = jnp.zeros((8, 128), jnp.uint32)
+        perm_lo = perm_ref[0]
+        perm_hi = perm_ref[1]
+
+        def perm_select(rank):
+            idx = rank & 127
+            return jnp.where(
+                rank >= 128,
+                jnp.take_along_axis(perm_hi, idx, axis=1),
+                jnp.take_along_axis(perm_lo, idx, axis=1),
+            ).astype(jnp.uint32)
+
+        def decode_bounded(wl, off, lo, hi):
+            widx = off >> 5
+            sh = (off & 31).astype(jnp.uint32)
+            width = hi - lo + 1
+            nb = 1 << max(0, (width - 1).bit_length())
+            p0 = [wl[lo + j] for j in range(width)] + [wl[hi]] * (nb - width)
+            p1 = [wl[lo + j + 1] for j in range(width)] + [wl[hi + 1]] * (nb - width)
+            d = widx - lo
+            for b in range(max(0, (width - 1).bit_length())):
+                t = ((d >> b) & 1) == 1
+                p0 = [jnp.where(t, p0[2 * i + 1], p0[2 * i]) for i in range(len(p0) // 2)]
+                p1 = [jnp.where(t, p1[2 * i + 1], p1[2 * i]) for i in range(len(p1) // 2)]
+            wv = (p0[0] << sh) | ((p1[0] >> jnp.uint32(1)) >> (jnp.uint32(31) - sh))
+            rank, ln = _interval_decode(wv, intervals)
+            return perm_select(rank), ln
+
+        w = [win_ref[0, j] for j in range(Wb)] + [zero, zero]
+        off0 = entry_ref[0]
+        # Entry roll: the entry offset can be anywhere in the window.
+        a = off0 >> 5
+        for k in (32, 16, 8, 4, 2, 1):
+            if k >= Wb + 2:
+                continue
+            t = (a & k) != 0
+            w = [
+                jnp.where(t, w[j + k] if j + k < len(w) else zero, w[j])
+                for j in range(len(w))
+            ]
+        base = a
+        off = off0 & 31
         bad = jnp.zeros((8, 128), jnp.int32)
         seg_end = jnp.int32(seg_words * 32)
+        # Post-anchor roll distance: off <= 31 + A*mx (invalid steps only
+        # shorten it).
+        roll_ks = [k for k in (16, 8, 4, 2, 1) if k <= (31 + A * mx) >> 5]
         for s4 in range(K4):
             packed = jnp.zeros((8, 128), jnp.uint32)
             for u in range(4):
-                sym, ln = decode_at(off)
-                active = off < seg_end
+                i = s4 * 4 + u
+                il = i % A
+                # Window bound: invalid prefixes step 1 bit, so lo stays 0;
+                # hi grows with the local (since-anchor) symbol index.
+                hi = min((31 + il * mx) >> 5, len(w) - 2)
+                sym, ln = decode_bounded(w, off, 0, hi)
+                abs_off = off + (base << 5)
+                active = abs_off < seg_end
                 invalid = active & (ln == 0)
                 # poison: remember the first invalid bit offset
-                bad = jnp.where((bad == 0) & invalid, off + 1, bad)
+                bad = jnp.where((bad == 0) & invalid, abs_off + 1, bad)
                 step = jnp.where(invalid, 1, ln)
                 packed = packed | (
                     jnp.where(active, sym, jnp.uint32(0)) << jnp.uint32(8 * u)
                 )
                 off = jnp.where(active, off + step, off)
+                if il == A - 1 and i != max_syms - 1:
+                    d = off >> 5
+                    for k in roll_ks:
+                        t = (d & k) != 0
+                        w = [
+                            jnp.where(t, w[j + k] if j + k < len(w) else zero, w[j])
+                            for j in range(len(w))
+                        ]
+                    base = base + d
+                    off = off - (d << 5)
             out_ref[s4] = packed
-        exit_ref[0] = off
+        exit_ref[0] = off + (base << 5)
         bad_ref[0] = bad
 
     grid_spec = pl.GridSpec(
@@ -82,6 +156,7 @@ def _make_selfsync_call(intervals, p32_flat, max_syms: int, G: int, interpret: b
         in_specs=[
             pl.BlockSpec((1, Wb, 8, 128), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((K4, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
@@ -89,7 +164,7 @@ def _make_selfsync_call(intervals, p32_flat, max_syms: int, G: int, interpret: b
             pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
         ],
     )
-    return pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
@@ -97,8 +172,15 @@ def _make_selfsync_call(intervals, p32_flat, max_syms: int, G: int, interpret: b
             jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
             jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
         ],
-    interpret=interpret,
+        interpret=interpret,
     )
+
+    def run(win, entries):
+        # perm_tbl_np stays a host constant; materializing it per trace
+        # avoids caching a tracer in this lru-cached closure.
+        return call(win, entries, jnp.asarray(perm_tbl_np))
+
+    return run
 
 
 @functools.partial(
