@@ -112,6 +112,60 @@ def _shard_encode_body(symbols, n_valid, patterns, lengths, axes):
     )
 
 
+def _shard_encode_body_pallas(symbols, n_valid, *, K, G, Wb, num_out_words,
+                              p32t, lent, min_len, max_len, interpret, axes):
+    """Per-shard Pallas pack + funnel to the global phase; under shard_map.
+
+    Same contract as _shard_encode_body but the local pack is the
+    single-chip Pallas pipeline (ops/pallas_encode.py) instead of the
+    elementwise gather+cumsum+scatter kernel — the mesh layer is just the
+    one all_gather of shard bit totals plus an elementwise funnel shift.
+    """
+    from .ops.pallas_encode import LANES as PACK_LANES, _encode_pipeline
+
+    n = symbols.shape[0]
+    nv = n_valid[0]
+    B = G * PACK_LANES
+    nsym = jnp.clip(
+        nv - jax.lax.broadcasted_iota(jnp.int32, (B,), 0) * K, 0, K
+    ).astype(jnp.int32)
+    padded = jnp.pad(symbols, (0, B * K - n))
+    syms_u32 = jax.lax.bitcast_convert_type(
+        padded.reshape(-1, 4), jnp.uint32
+    ).reshape(-1)
+    # eos_padding=0: shard streams must NOT pad (only the global stream
+    # end gets eos bits, applied by the caller); a zero pad ORs nothing.
+    words0, local_bits, _padded_bits, bad, _offs = _encode_pipeline(
+        syms_u32, nsym, jnp.uint32(0), K, G, Wb, num_out_words,
+        p32t, lent, min_len, max_len, interpret,
+    )
+
+    totals = local_bits
+    for ax in reversed(axes):
+        totals = jax.lax.all_gather(totals, ax, axis=0)
+    totals = totals.reshape(-1)
+    my_idx = jax.lax.axis_index(axes[0])
+    for ax in axes[1:]:
+        my_idx = my_idx * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
+    csum = jnp.cumsum(totals)
+    offset = csum[my_idx] - local_bits  # exclusive prefix
+    global_total = csum[-1]
+
+    # Funnel the phase-0 local stream to its global intra-word phase.
+    phase = (offset & 31).astype(jnp.uint32)
+    word_base = offset >> 5
+    ext = jnp.concatenate([words0, jnp.zeros(1, jnp.uint32)])
+    prev = jnp.concatenate([jnp.zeros(1, jnp.uint32), words0])
+    words = (ext >> phase) | ((prev << (jnp.uint32(31) - phase)) << jnp.uint32(1))
+    return (
+        words,
+        local_bits[None],
+        word_base[None],
+        bad.astype(jnp.int32)[None],
+        global_total[None],
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("num_out_words",))
 def _stitch_kernel(words, word_bases, num_out_words: int):
     """Scatter-OR every shard's word window into the global stream.
@@ -135,12 +189,23 @@ class MeshCodec:
 
     table: HuffmanTable
     mesh: Mesh
-    block_symbols: int = 4096  # BlockIndex granularity for decode striping
+    block_symbols: int = 256  # BlockIndex granularity for decode striping
     eos_padding: int = DEFAULT_EOS_PADDING  # reference: huffman.h:66
 
     def __post_init__(self):
+        from .ops import pallas_encode as _pe
+
         self._dt = DeviceTable.for_table(self.table)
         self._ndev = math.prod(self.mesh.devices.shape)
+        # The Pallas shard bodies are TPU-only: in interpret mode (CPU
+        # tests, driver dryrun) the kernel expands into the XLA graph and
+        # the CPU backend's algebraic simplifier spins on it ("circular
+        # simplification loop"); the gather/scan bodies stay the CPU path.
+        self._pallas_encode_ok = (
+            _pe.supports(self.table) and not _pe._use_interpret()
+        )
+        self._penc_cache = {}
+        self._pdec_cache = {}
         axes = _flat_axes(self.mesh)
         spec_in = P(axes[0] if len(axes) == 1 else axes)
         self._encode_sharded = jax.jit(
@@ -178,6 +243,31 @@ class MeshCodec:
 
     # ---- encode ----
 
+    def _pallas_encode_sharded(self, per_dev: int):
+        """shard_map'd Pallas pack pipeline for a fixed per-shard size."""
+        if per_dev in self._penc_cache:
+            return self._penc_cache[per_dev]
+        from .ops import pallas_encode as pe
+
+        axes = _flat_axes(self.mesh)
+        spec = P(axes[0] if len(axes) == 1 else axes)
+        K = pe.pack_k(self.table)
+        p32t, lent, mn, mx, Wb, G, now = pe._plan(self.table, per_dev, K)
+        body = functools.partial(
+            _shard_encode_body_pallas,
+            K=K, G=G, Wb=Wb, num_out_words=now,
+            p32t=p32t, lent=lent, min_len=mn, max_len=mx,
+            interpret=pe._use_interpret(), axes=axes,
+        )
+        fn = jax.jit(
+            jax.shard_map(
+                body, mesh=self.mesh, in_specs=(spec, spec),
+                out_specs=(spec,) * 5, check_vma=False,
+            )
+        )
+        self._penc_cache[per_dev] = fn
+        return fn
+
     def encode(self, data: bytes | np.ndarray, with_index: bool = True):
         """Returns (encoded_bytes, BlockIndex | None).
 
@@ -205,7 +295,12 @@ class MeshCodec:
             np.maximum(n - per_dev * np.arange(ndev, dtype=np.int64), 0), per_dev
         ).astype(np.int32)
 
-        words, local_bits, word_bases, bad, global_total = self._encode_sharded(
+        enc_fn = (
+            self._pallas_encode_sharded(per_dev)
+            if self._pallas_encode_ok
+            else self._encode_sharded
+        )
+        words, local_bits, word_bases, bad, global_total = enc_fn(
             jnp.asarray(padded), jnp.asarray(n_valid)
         )
         if bool(jnp.any(bad > 0)):
@@ -250,6 +345,91 @@ class MeshCodec:
 
     # ---- decode ----
 
+    def _pallas_decode_sharded(self, K: int, Wb: int, G: int):
+        key = (K, Wb, G)
+        if key in self._pdec_cache:
+            return self._pdec_cache[key]
+        from .ops import pallas_decode as pd
+
+        struct = pd.structure_for(self.table)
+        axes = _flat_axes(self.mesh)
+        spec = P(axes[0] if len(axes) == 1 else axes)
+        body = functools.partial(
+            _shard_decode_body_pallas,
+            K=K, Wb=Wb, G=G,
+            intervals=struct.intervals,
+            p32_flat=tuple(x for row in struct.p32 for x in row),
+            interpret=pd._use_interpret(),
+        )
+        fn = jax.jit(
+            jax.shard_map(
+                body, mesh=self.mesh, in_specs=(spec,) * 4, out_specs=spec,
+                check_vma=False,
+            )
+        )
+        self._pdec_cache[key] = fn
+        return fn
+
+    def _decode_pallas(self, words_np: np.ndarray, index: BlockIndex) -> bytes:
+        """Stripe blocks over shards; each shard runs the Pallas pipeline."""
+        from .ops import pallas_decode as pd
+
+        ndev = self._ndev
+        K = index.symbols_per_block
+        B = index.bit_offsets.size
+        bpd = -(-B // ndev)
+        G = max(1, -(-bpd // pd.LANES))
+        Bp = G * pd.LANES
+        Wb = pd.plan_wb(index, self.table)
+        NR = pd._rows_for(Wb)
+
+        off64 = index.bit_offsets.astype(np.int64)
+        first = np.minimum(np.arange(ndev) * bpd, B - 1)
+        word_base = off64[first] >> 5
+        # Window size: the farthest staging row any shard's block touches.
+        last = np.minimum((np.arange(ndev) + 1) * bpd, B) - 1
+        rel_last = (off64[last] >> 5) - word_base
+        wmax = int(rel_last.max()) + NR * 32 + 32
+        win = np.zeros((ndev, wmax), dtype=np.uint32)
+        for s in range(ndev):
+            lo = int(word_base[s])
+            hi = min(lo + wmax, words_np.size)
+            win[s, : hi - lo] = words_np[lo:hi]
+
+        base = np.zeros((ndev, Bp), np.int32)
+        rel = np.zeros((ndev, Bp), np.int32)
+        nsym = np.zeros((ndev, Bp), np.int32)
+        b_idx = np.arange(B)
+        s_of_b = np.minimum(b_idx // bpd, ndev - 1)
+        rel_bits = off64 - 32 * word_base[s_of_b]
+        flatpos = s_of_b * Bp + (b_idx - s_of_b * bpd)
+        base.reshape(-1)[flatpos] = (rel_bits >> 5).astype(np.int32)
+        rel.reshape(-1)[flatpos] = (rel_bits & 31).astype(np.int32)
+        nsym.reshape(-1)[flatpos] = index.n_symbols
+
+        out = self._pallas_decode_sharded(K, Wb, G)(
+            jnp.asarray(win).reshape(-1),
+            jnp.asarray(base).reshape(-1),
+            jnp.asarray(rel).reshape(-1),
+            jnp.asarray(nsym).reshape(-1),
+        )
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            out_np = multihost_utils.process_allgather(out, tiled=True)
+        else:
+            out_np = np.asarray(out)
+        flat = (
+            np.ascontiguousarray(out_np.reshape(ndev, Bp, K // 4))
+            .view(np.uint8)
+            .reshape(ndev, Bp, K)[:, :bpd]
+            .reshape(ndev * bpd, K)[:B]
+        )
+        if (index.n_symbols[:-1] == K).all():
+            return flat.reshape(-1)[: index.total_symbols].tobytes()
+        mask = np.arange(K)[None, :] < index.n_symbols[:, None]
+        return flat[mask].tobytes()
+
     def decode(self, data: bytes | np.ndarray, index: BlockIndex) -> bytes:
         """Block-parallel decode striped over the mesh."""
         raw = bytes(data) if isinstance(data, (bytes, bytearray)) else bytes(
@@ -259,6 +439,11 @@ class MeshCodec:
             return b""
         words_np, _ = words_from_bytes_np(raw)
         words_np = np.concatenate([words_np, np.zeros(2, dtype=np.uint32)])
+
+        from .ops import pallas_decode as pd
+
+        if pd.supports(self.table, index.symbols_per_block) and not pd._use_interpret():
+            return self._decode_pallas(words_np, index)
 
         ndev = self._ndev
         B = index.bit_offsets.size
@@ -313,6 +498,22 @@ class MeshCodec:
             np.arange(self.block_symbols)[None, :] < index.n_symbols[:, None]
         )
         return out[mask].tobytes()
+
+
+def _shard_decode_body_pallas(win, base, rel, nsym, *, K, Wb, G, intervals,
+                              p32_flat, interpret):
+    """Per-shard Pallas mini-block decode; under shard_map.
+
+    win: uint32[wmax] this shard's word window; base/rel/nsym: int32[G*1024]
+    per-lane (word index, bit-in-word, symbol count). Returns the packed
+    symbol tile flattened (uint32[G*1024*K/4])."""
+    from .ops.pallas_decode import _decode_pipeline
+
+    out, _end = _decode_pipeline(
+        win.reshape(-1), base.reshape(-1), rel.reshape(-1), nsym.reshape(-1),
+        K, Wb, G, intervals, p32_flat, interpret,
+    )
+    return out.reshape(-1)
 
 
 def _shard_decode_body(win, rel_offsets, n_sym, l0_bits, l0_val, l1_bits, l1_val,
