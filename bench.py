@@ -140,7 +140,12 @@ def main():
     B = n_blocks
     G = -(-B // LANES)
     Bp = G * LANES
-    Wb = (K * table.max_len + 31) // 32 + 2
+    from tpu_huffman.ops.decode import BlockIndex
+    from tpu_huffman.ops.pallas_decode import plan_wb
+
+    Wb = plan_wb(
+        BlockIndex(K, offsets.astype(np.int64), n_sym, n, int(ends[-1])), table
+    )
     base = np.zeros(Bp, np.int32)
     rel = np.zeros(Bp, np.int32)
     nsym_arr = np.zeros(Bp, np.int32)

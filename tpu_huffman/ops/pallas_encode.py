@@ -197,9 +197,16 @@ def _make_pack_call(p32t, lent, K: int, Wb: int, G: int,
                 wl = [zero for _ in range(Ws)]
                 loff = jnp.zeros((8, 128), jnp.int32)
                 Wl = Ws
+            # Pair fusion: when two codes fit one u32 (max_len <= 16), fuse
+            # symbols 2j,2j+1 into one pattern (p0 | p1 >> l0) and run ONE
+            # select-scatter per pair — the window arithmetic is identical
+            # (it depends only on the unit's start bit) so the dominant
+            # window work halves.
+            pair = max_len <= 16
+            step = 2 if pair else 1
             for u in range(S4):
                 packed = syms_ref[0, s * S4 + u]
-                for v in range(4):
+                for v in range(0, 4, step):
                     il = u * 4 + v
                     i = s * S + il
                     sym = (packed >> jnp.uint32(8 * v)) & jnp.uint32(0xFF)
@@ -208,11 +215,20 @@ def _make_pack_call(p32t, lent, K: int, Wb: int, G: int,
                     bad = bad | (active & (ln == 0))
                     p32 = jnp.where(active, p32, jnp.uint32(0))
                     ln = jnp.where(active, ln, 0)
+                    if pair:
+                        sym1 = (packed >> jnp.uint32(8 * (v + 1))) & jnp.uint32(0xFF)
+                        p1, l1 = lookup(sym1, luts)
+                        active1 = (i + 1) < ns
+                        bad = bad | (active1 & (l1 == 0))
+                        p1 = jnp.where(active1, p1, jnp.uint32(0))
+                        l1 = jnp.where(active1, l1, 0)
+                        p32 = p32 | (p1 >> ln.astype(jnp.uint32))
+                        ln = ln + l1
                     widx = loff >> 5
                     sh = (loff & 31).astype(jnp.uint32)
                     hi = p32 >> sh
                     lo = (p32 << (jnp.uint32(31) - sh)) << jnp.uint32(1)
-                    # symbol il's start bit is within [il*min_len,
+                    # the unit's start bit is within [il*min_len,
                     # il*max_len] (loff >= il*min_len always, so widx >=
                     # j_lo and the lo half never lands at j_lo). The
                     # widx==j compare at word j is reused as the widx==j-1
