@@ -6,6 +6,8 @@
 
 #pragma once
 
+#include "tpuhuff/exports.hpp"
+
 #include <cstring>
 #include <string>
 #include <vector>

@@ -18,6 +18,8 @@
 
 #pragma once
 
+#include "tpuhuff/exports.hpp"
+
 #include <cstddef>
 #include <cstdint>
 #include <memory>
@@ -48,7 +50,7 @@ struct CodeSpec {
 //   l0_bits > 0: leaf (bits_read), l0_val = symbol
 //   l0_bits == 0: invalid prefix
 //   l0_bits < 0: subtable of width -l0_bits at l1[l0_val ...]
-class Table {
+class TPUHUFF_API Table {
   public:
     // Build from specs. Throws std::runtime_error on duplicate symbols,
     // non-prefix-free codes, or out-of-range lengths.
@@ -93,12 +95,12 @@ class Table {
 // Parse the reference .def format: HUFFMAN_CODE(sym, "bits", 0x.., len)
 // lines, '#' preprocessor lines and /* */ comments ignored (reference:
 // source/huffman_generator/generator.c:42-105).
-std::vector<CodeSpec> parse_def(const std::string& text);
+TPUHUFF_API std::vector<CodeSpec> parse_def(const std::string& text);
 // Parse this framework's TSV artifact: "symbol\tnum_bits\tpattern_hex".
-std::vector<CodeSpec> parse_tsv(const std::string& text);
+TPUHUFF_API std::vector<CodeSpec> parse_tsv(const std::string& text);
 
 // Streaming encoder (reference: aws_huffman_encoder, huffman.h:63-72).
-class Encoder {
+class TPUHUFF_API Encoder {
   public:
     explicit Encoder(const Table* table, uint8_t eos_padding = 0xFF)
         : table_(table), eos_padding_(eos_padding) {}
@@ -131,7 +133,7 @@ class Encoder {
 };
 
 // Streaming decoder (reference: aws_huffman_decoder, huffman.h:74-84).
-class Decoder {
+class TPUHUFF_API Decoder {
   public:
     explicit Decoder(const Table* table) : table_(table) {}
 
@@ -159,8 +161,8 @@ class Decoder {
 };
 
 // Convenience one-shot helpers (grow-as-needed; used by tools/tests).
-Status encode_all(const Table& t, const uint8_t* in, size_t n, std::vector<uint8_t>* out,
+TPUHUFF_API Status encode_all(const Table& t, const uint8_t* in, size_t n, std::vector<uint8_t>* out,
                   uint8_t eos_padding = 0xFF);
-Status decode_all(const Table& t, const uint8_t* in, size_t n, std::vector<uint8_t>* out);
+TPUHUFF_API Status decode_all(const Table& t, const uint8_t* in, size_t n, std::vector<uint8_t>* out);
 
 }  // namespace tpuhuff

@@ -5,6 +5,7 @@
 #include <cstring>
 #include <new>
 
+#include "tpuhuff/exports.hpp"
 #include "tpuhuff/tpuhuff.hpp"
 
 using tpuhuff::CodeSpec;
@@ -17,7 +18,7 @@ extern "C" {
 
 // Status codes: 0 ok, 1 short buffer, 2 unknown symbol, 3 bad table.
 
-void* th_table_create(const uint16_t* symbols, const uint8_t* num_bits,
+TPUHUFF_API void* th_table_create(const uint16_t* symbols, const uint8_t* num_bits,
                       const uint32_t* patterns, int n, int root_bits) {
     try {
         std::vector<CodeSpec> specs(n);
@@ -28,23 +29,23 @@ void* th_table_create(const uint16_t* symbols, const uint8_t* num_bits,
     }
 }
 
-void th_table_destroy(void* t) { delete static_cast<Table*>(t); }
+TPUHUFF_API void th_table_destroy(void* t) { delete static_cast<Table*>(t); }
 
 // ---- encoder ----
 
-void* th_encoder_create(void* table, uint8_t eos_padding) {
+TPUHUFF_API void* th_encoder_create(void* table, uint8_t eos_padding) {
     return new (std::nothrow) Encoder(static_cast<Table*>(table), eos_padding);
 }
-void th_encoder_destroy(void* e) { delete static_cast<Encoder*>(e); }
-void th_encoder_reset(void* e) { static_cast<Encoder*>(e)->reset(); }
-uint32_t th_encoder_carry_pattern(void* e) { return static_cast<Encoder*>(e)->carry_pattern(); }
-uint8_t th_encoder_carry_len(void* e) { return static_cast<Encoder*>(e)->carry_len(); }
+TPUHUFF_API void th_encoder_destroy(void* e) { delete static_cast<Encoder*>(e); }
+TPUHUFF_API void th_encoder_reset(void* e) { static_cast<Encoder*>(e)->reset(); }
+TPUHUFF_API uint32_t th_encoder_carry_pattern(void* e) { return static_cast<Encoder*>(e)->carry_pattern(); }
+TPUHUFF_API uint8_t th_encoder_carry_len(void* e) { return static_cast<Encoder*>(e)->carry_len(); }
 
-uint64_t th_encoded_length(void* e, const uint8_t* in, uint64_t in_len) {
+TPUHUFF_API uint64_t th_encoded_length(void* e, const uint8_t* in, uint64_t in_len) {
     return static_cast<Encoder*>(e)->encoded_length(in, in_len);
 }
 
-int th_encode(void* e, const uint8_t* in, uint64_t in_len, uint64_t* in_consumed,
+TPUHUFF_API int th_encode(void* e, const uint8_t* in, uint64_t in_len, uint64_t* in_consumed,
               uint8_t* out, uint64_t out_cap, uint64_t* out_written) {
     const uint8_t* p = in;
     size_t len = in_len;
@@ -57,15 +58,15 @@ int th_encode(void* e, const uint8_t* in, uint64_t in_len, uint64_t* in_consumed
 
 // ---- decoder ----
 
-void* th_decoder_create(void* table) {
+TPUHUFF_API void* th_decoder_create(void* table) {
     return new (std::nothrow) Decoder(static_cast<Table*>(table));
 }
-void th_decoder_destroy(void* d) { delete static_cast<Decoder*>(d); }
-void th_decoder_reset(void* d) { static_cast<Decoder*>(d)->reset(); }
-uint64_t th_decoder_working_bits(void* d) { return static_cast<Decoder*>(d)->working_bits(); }
-uint8_t th_decoder_num_bits(void* d) { return static_cast<Decoder*>(d)->num_bits(); }
+TPUHUFF_API void th_decoder_destroy(void* d) { delete static_cast<Decoder*>(d); }
+TPUHUFF_API void th_decoder_reset(void* d) { static_cast<Decoder*>(d)->reset(); }
+TPUHUFF_API uint64_t th_decoder_working_bits(void* d) { return static_cast<Decoder*>(d)->working_bits(); }
+TPUHUFF_API uint8_t th_decoder_num_bits(void* d) { return static_cast<Decoder*>(d)->num_bits(); }
 
-int th_decode(void* d, const uint8_t* in, uint64_t in_len, uint64_t* in_consumed,
+TPUHUFF_API int th_decode(void* d, const uint8_t* in, uint64_t in_len, uint64_t* in_consumed,
               uint8_t* out, uint64_t out_cap, uint64_t* out_written) {
     const uint8_t* p = in;
     size_t len = in_len;
