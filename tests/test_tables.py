@@ -151,3 +151,34 @@ def test_library_init():
     assert th.library_is_initialized()
     th.library_clean_up()
     assert not th.library_is_initialized()
+
+
+def test_max_pattern_bits_32_roundtrip():
+    """Codes up to the reference's MAX_PATTERN_BITS=32 (huffman.c:10) must
+    round-trip through every host path (encode/decode/streaming)."""
+    import numpy as np
+
+    import tpu_huffman as th
+
+    # Kraft-complete assignment with two 32-bit codes: symbol 0 at 1 bit,
+    # symbols 1..30 at lengths 2..31, symbols 31,32 at 32 bits.
+    lens = {0: 1}
+    for i in range(1, 31):
+        lens[i] = i + 1
+    lens[31] = 32
+    lens[32] = 32
+    t = th.make_canonical(lens, name="deep32")
+    assert int(t.lengths.max()) == 32
+    rng = np.random.default_rng(0)
+    # skewed toward short codes, with the 32-bit symbols present
+    data = bytes(rng.choice(33, p=[2.0 ** -lens[i] for i in range(33)],
+                            size=4096).astype(np.uint8))
+    enc = th.encode(data, t)
+    assert th.decode(enc, t) == data
+    enc2, idx = th.encode_with_index(data, t)
+    assert enc2 == enc
+    assert th.decode_indexed(enc2, idx, t) == data
+    from tpu_huffman.oracle import oracle_available, oracle_encode
+
+    if oracle_available():
+        assert oracle_encode(data, t) == enc
