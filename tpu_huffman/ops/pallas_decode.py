@@ -198,10 +198,18 @@ def _make_decode_step(win, Wb, intervals, p32_flat):
     return decode_at
 
 
+# Staging row width (words). Wider aligned row-takes are faster on this
+# hardware even though they stage more volume: interleaved loop-protocol
+# sweep at 8 MiB / K=256 measured 299 us @RW=32, 202 @64, 160 @128
+# (row-take cost is per-index as much as per-byte). The in-row slack
+# (<RW words) moves into the kernel's entry barrel roll.
+STAGE_RW = 128
+
+
 def _rows_for(Wb: int) -> int:
-    """32-word staging rows per block: a <32-word in-row start plus the
-    Wb-word window."""
-    return -(-(Wb + 31) // 32)
+    """STAGE_RW-word staging rows per block: a <RW-word in-row start plus
+    the Wb-word window."""
+    return -(-(Wb + STAGE_RW - 1) // STAGE_RW)
 
 
 def _anchor_interval(K: int, mn: int, mx: int) -> int:
@@ -234,7 +242,7 @@ def _make_pallas_call(intervals, p32_flat, K: int, Wb: int, G: int, interpret: b
     """
     K4 = K // 4
     NR = _rows_for(Wb)
-    NW = NR * 32
+    NW = NR * STAGE_RW
     lens = [L for (_lo, _hi, L, _sub, _bias) in intervals]
     mn, mx = min(lens), max(lens)
     S = _anchor_interval(K, mn, mx)
@@ -268,14 +276,21 @@ def _make_pallas_call(intervals, p32_flat, K: int, Wb: int, G: int, interpret: b
             ).astype(jnp.uint32)
 
         w = [win_ref[0, j] for j in range(NW)]
-        rel = rel_ref[0]  # bit offset into the staged rows, [0, 1024)
-        a = rel >> 5
+        rel = rel_ref[0]  # bit offset into the staged rows, [0, STAGE_RW*32)
+        a = rel >> 5  # entry word, < STAGE_RW
         zero = jnp.zeros((8, 128), jnp.uint32)
-        for k in (16, 8, 4, 2, 1):
+        # Entry roll with progressive shrink: after the full roll only
+        # Wb+1 words matter, but intermediate steps must keep the words
+        # the remaining shift can still bring into range.
+        entry_ks = [k for k in (64, 32, 16, 8, 4, 2, 1) if k < STAGE_RW]
+        rem = sum(entry_ks)
+        for k in entry_ks:
+            rem -= k
             t = (a & k) != 0
+            keep = min(len(w), Wb + 1 + rem)
             w = [
-                jnp.where(t, w[j + k] if j + k < NW else zero, w[j])
-                for j in range(NW)
+                jnp.where(t, w[j + k] if j + k < len(w) else zero, w[j])
+                for j in range(keep)
             ]
         w = w[: Wb + 1]
         while len(w) < Wb + 1:
@@ -392,10 +407,11 @@ def _decode_pipeline(words, base, rel, nsym, K, Wb, G, intervals, p32_flat, inte
     moves into the kernel's barrel roll.
     """
     NR = _rows_for(Wb)
-    S = -(-words.shape[0] // 32) + NR
-    spans = jnp.pad(words, (0, S * 32 - words.shape[0])).reshape(S, 32)
-    r = base >> 5
-    rel2 = ((base & 31) << 5) + rel
+    RW = STAGE_RW
+    S = -(-words.shape[0] // RW) + NR
+    spans = jnp.pad(words, (0, S * RW - words.shape[0])).reshape(S, RW)
+    r = base // RW
+    rel2 = ((base % RW) << 5) + rel
     # r comes from the block bit-offset index (a cumsum) => sorted; the
     # sorted .at[].get beats jnp.take 7.8 -> 4.5 ms on 3x64Ki row-takes
     # (scripts/prof/prof_sorted_hints.py).
@@ -406,7 +422,7 @@ def _decode_pipeline(words, base, rel, nsym, K, Wb, G, intervals, p32_flat, inte
         ],
         axis=1,
     )
-    win = win.reshape(G, 8, 128, NR * 32).transpose(0, 3, 1, 2)
+    win = win.reshape(G, 8, 128, NR * RW).transpose(0, 3, 1, 2)
     out, end = _make_pallas_call(intervals, p32_flat, K, Wb, G, interpret)(
         win, rel2.reshape(G, 8, 128), nsym.reshape(G, 8, 128)
     )

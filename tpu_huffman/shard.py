@@ -389,7 +389,7 @@ class MeshCodec:
         # Window size: the farthest staging row any shard's block touches.
         last = np.minimum((np.arange(ndev) + 1) * bpd, B) - 1
         rel_last = (off64[last] >> 5) - word_base
-        wmax = int(rel_last.max()) + NR * 32 + 32
+        wmax = int(rel_last.max()) + NR * pd.STAGE_RW + pd.STAGE_RW
         win = np.zeros((ndev, wmax), dtype=np.uint32)
         for s in range(ndev):
             lo = int(word_base[s])
