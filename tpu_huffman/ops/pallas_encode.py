@@ -46,6 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..tables import HuffmanTable
 
 LANES = 1024  # blocks per grid step, shaped (8, 128)
+STITCH_SW = 128  # stitch scatter row width (words); see prof notes
 
 
 def _make_byte_lut(p32_flat):
@@ -451,7 +452,7 @@ def _encode_pipeline(
     # extra elementwise traffic costs less than the 4x scatter-index
     # reduction saves. Adds stay duplicate-tolerant (no unique_indices):
     # two blocks can share a SW-word row whenever K*min_len < 32*SW bits.
-    SW = 128
+    SW = STITCH_SW
     nrows = -(-(Wb + SW) // SW)  # Wb+1 words shifted right by up to SW-1
     Wtot = SW * nrows
     a = ((offs >> 5) & (SW - 1)).astype(jnp.int32)
