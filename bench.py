@@ -68,11 +68,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mb", type=float, default=8.0, help="corpus size in MiB")
     ap.add_argument("--oracle-mb", type=float, default=4.0)
-    # 256 measured fastest for indexed decode on the static table with the
-    # gather-LUT kernel (4.20 ms vs 4.35 at 192, 4.39 at 128 for 8 MiB;
-    # scripts/prof/prof_decode_k.py) and matches pack_k so the encode
-    # pipeline's free offsets serve as the index.
-    ap.add_argument("--block-symbols", type=int, default=256)
+    # 512 measured fastest for indexed decode on the static table with
+    # 128-word staging rows (334 us vs 411 at 256 for 8 MiB;
+    # scripts/prof/prof_true_decode_k.py); a multiple of the pack
+    # pipeline's free-offset granularity so the index comes free.
+    ap.add_argument("--block-symbols", type=int, default=512)
     ap.add_argument("--k-hi", type=int, default=129, help="long loop length")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()

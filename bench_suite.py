@@ -295,7 +295,7 @@ def main():
     if config == "ascii_text":
         table = th.load_static_test_table()
         corpus = np.frombuffer(english_like_corpus(n), dtype=np.uint8)
-        bench_corpus("ascii_text", corpus, table, 256, args.repeats, emit)
+        bench_corpus("ascii_text", corpus, table, 512, args.repeats, emit)
     elif config == "table_5_30":
         t530 = th.make_canonical(mixed_lengths_5_30(), name="mixed_5_30")
         assert t530.max_len >= 25, t530.max_len

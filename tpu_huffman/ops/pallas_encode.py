@@ -650,12 +650,12 @@ def encode(data, table: HuffmanTable, eos_padding: int = 0xFF):
 
 def index_granularity(table: HuffmanTable) -> int:
     """Default BlockIndex granularity: the multiple of offset_granularity
-    nearest the measured decode sweet spot K=256 (loop-protocol sweep:
-    0.77 ms @128, 0.57 @256, 0.62 @384, 0.64 @512 on 8 MiB,
-    scripts/prof/prof_true_decode_k.py); supports() caps symbols_per_block
-    at 512."""
+    nearest the measured decode sweet spot K=512 (loop-protocol sweep with
+    128-word staging rows: 635 us @128, 411 @256, 383 @384, **334 @512**,
+    387 @1024 on 8 MiB, scripts/prof/prof_true_decode_k.py); supports()
+    caps symbols_per_block at 512."""
     g = offset_granularity(table)
-    return max(g, min(512, round(256 / g) * g or g))
+    return max(g, min(512, round(512 / g) * g or g))
 
 
 def encode_with_offsets(data, table: HuffmanTable, eos_padding: int = 0xFF,
