@@ -542,7 +542,11 @@ def pack_k(table: HuffmanTable) -> int:
         return 32
     lens = table.lengths[table.lengths > 0]
     max_len = int(lens.max()) if lens.size else 1
-    budget = max(32, 10240 // max_len)
+    # Budget ~640 buffer words per lane: deep tables stay scatter-index
+    # bound well past the old 320-word target (5-30-bit table at 8 MiB:
+    # 1508 us @K=256 vs 1293 @512), and K=1024 keeps winning on shallow
+    # ones. Cap at 1024 (the 8 MiB sweep's optimum; 2048 regressed).
+    budget = max(32, 20480 // max_len)
     return min(1024, 1 << (budget.bit_length() - 1))
 
 
