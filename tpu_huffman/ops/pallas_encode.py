@@ -338,15 +338,33 @@ def _cumsum_last(x):
     return x
 
 
-def _exclusive_cumsum_blocks(bits, C=128):
+def _exclusive_cumsum_blocks(bits, C=128, mxu_inner=False):
     """Exclusive prefix sum of a 1-D i32 array, hierarchical in C-wide rows.
 
     Returns (offsets, total). Works for any length (pads to a multiple of C).
+
+    ``mxu_inner`` runs the within-row inclusive cumsum as ONE MXU matmul
+    against an upper-triangular ones matrix instead of a ~7-op log-shift
+    chain (which dominated the ~70 us cumsum stage of the encode pipeline
+    at 8 MiB, prof_true_stitch.py). f32 is exact only while each ROW SUM
+    stays below 2^24, which holds for the top level (row sum <= 128 blocks
+    x K<=2048 symbols x max_len<=32 bits = 2^23) but NOT for the recursive
+    levels, whose values accumulate to the full stream bit count — those
+    always take the int32 log-shift path.
     """
     B = bits.shape[0]
     Bp = -(-B // C) * C
     x = jnp.pad(bits, (0, Bp - B)).reshape(Bp // C, C)
-    inner = _cumsum_last(x)  # inclusive within each row
+    if mxu_inner and C <= 128:
+        tri = jnp.asarray(
+            np.triu(np.ones((C, C), np.float32)), dtype=jnp.float32
+        )
+        inner = jax.lax.dot(
+            x.astype(jnp.float32), tri,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(jnp.int32)
+    else:
+        inner = _cumsum_last(x)  # inclusive within each row
     row_tot = inner[:, -1]
     if Bp // C > 1:
         row_off, _ = _exclusive_cumsum_blocks(row_tot, C)
@@ -413,14 +431,19 @@ def _encode_pipeline(
     # fixed-shape bench/entry seam) XLA DCEs that minor-dim-16 transpose,
     # which measured ~160 us at 8 MiB (scripts/prof/prof_true_stitch.py).
     bits4 = bits.reshape(G, nsub, 8, 128)
-    incl = bits4
-    k = 1
-    while k < nsub:
-        incl = incl + jnp.pad(incl, ((0, 0), (k, 0), (0, 0), (0, 0)))[:, :nsub]
-        k *= 2
-    bt = incl[:, -1].reshape(B)  # per-block bit totals, b-order
-    offs, total_bits = _exclusive_cumsum_blocks(bt)
+    bt = bits4.sum(axis=1).reshape(B)  # per-block bit totals, b-order
+    offs, total_bits = _exclusive_cumsum_blocks(bt, mxu_inner=True)
     if nsub > 1:
+        # Sub-block inclusive chain feeds ONLY the returned index; when the
+        # caller drops offs_sub (the fixed-shape bench/entry seam) XLA DCEs
+        # the whole chain, including its minor-dim-16 transpose.
+        incl = bits4
+        k = 1
+        while k < nsub:
+            incl = incl + jnp.pad(
+                incl, ((0, 0), (k, 0), (0, 0), (0, 0))
+            )[:, :nsub]
+            k *= 2
         excl4 = incl - bits4
         offs_sub = (
             (excl4 + offs.reshape(G, 1, 8, 128))
