@@ -256,24 +256,31 @@ def _make_pallas_call(intervals, p32_flat, K: int, Wb: int, G: int, interpret: b
         a, wq = divmod(m, 4)
         for kk in range(4):
             perm_np[a * 16 + wq * 4 + kk] = (word >> (8 * kk)) & 0xFF
-    perm_tbl_np = np.stack(
-        [
-            np.broadcast_to(perm_np[:128], (8, 128)),
-            np.broadcast_to(perm_np[128:], (8, 128)),
-        ]
-    )
+    # Symbols are bytes, so FOUR ranks' symbols pack per u32 and the whole
+    # 256-entry rank->symbol table fits one 128-wide row: ONE lane-axis
+    # dynamic_gather on (rank >> 2) + a byte extract, instead of the
+    # two-gather + select 256-row form (the gather is ~13 VPU cycles and
+    # dominates the lookup).
+    perm32_np = np.zeros(128, np.uint32)
+    for j in range(64):
+        perm32_np[j] = (
+            perm_np[4 * j]
+            | (perm_np[4 * j + 1] << 8)
+            | (perm_np[4 * j + 2] << 16)
+            | (perm_np[4 * j + 3] << 24)
+        )
+    perm_tbl_np = np.broadcast_to(
+        perm32_np.view(np.int32), (1, 8, 128)
+    ).copy()
 
     def kernel(win_ref, rel_ref, nsym_ref, perm_ref, out_ref, end_ref):
-        perm_lo = perm_ref[0]
-        perm_hi = perm_ref[1]
+        perm32 = perm_ref[0]
 
         def perm_select(rank):
-            idx = rank & 127
-            return jnp.where(
-                rank >= 128,
-                jnp.take_along_axis(perm_hi, idx, axis=1),
-                jnp.take_along_axis(perm_lo, idx, axis=1),
-            ).astype(jnp.uint32)
+            e = jnp.take_along_axis(perm32, rank >> 2, axis=1)
+            eu = jax.lax.bitcast_convert_type(e, jnp.uint32)
+            sh = ((rank & 3) << 3).astype(jnp.uint32)
+            return (eu >> sh) & jnp.uint32(0xFF)
 
         w = [win_ref[0, j] for j in range(NW)]
         rel = rel_ref[0]  # bit offset into the staged rows, [0, STAGE_RW*32)

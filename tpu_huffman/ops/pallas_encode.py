@@ -128,8 +128,22 @@ def _make_pack_call(p32t, lent, K: int, Wb: int, G: int,
     # gather pair + mask instead of two pairs — halves the lookup cost.
     p32_np = np.asarray(p32t, dtype=np.uint64).astype(np.uint32)
     len_np = np.asarray(lent, dtype=np.int32)
+    # When max_len <= 12 a whole entry fits 16 bits (12 MSB-aligned pattern
+    # bits + 4 length bits), so TWO symbols' entries pack into one u32 and
+    # the 256-entry LUT collapses to ONE 128-wide dynamic_gather on
+    # (sym >> 1) plus a 16-bit halfword select on (sym & 1) — vs two
+    # gathers + select for the 256-row forms below. The gather is the
+    # expensive primitive (~13 VPU cycles), so this nearly halves lookup
+    # cost; lookups are the largest term of the pack kernel.
+    fused16 = max_len <= 12
     fused = max_len <= 26
-    if fused:
+    if fused16:
+        e16 = (p32_np >> 16) | len_np.astype(np.uint32)
+        tbl_np = np.broadcast_to(
+            (e16[0::2] | (e16[1::2] << 16)).astype(np.uint32).view(np.int32),
+            (1, 8, 128),
+        ).copy()
+    elif fused:
         ent_np = (p32_np | len_np.astype(np.uint32)).view(np.int32)
         tbl_np = np.stack(
             [
@@ -150,6 +164,14 @@ def _make_pack_call(p32t, lent, K: int, Wb: int, G: int,
     def lookup(sym, luts):
         """sym u32[8,128] -> (p32 left-aligned u32, ln i32; ln==0 unknown)."""
         idx = sym.astype(jnp.int32)
+        if fused16:
+            (et,) = luts
+            e = jnp.take_along_axis(et, idx >> 1, axis=1)
+            eu = jax.lax.bitcast_convert_type(e, jnp.uint32)
+            h = jnp.where((idx & 1) == 1, eu >> jnp.uint32(16), eu)
+            return (h & jnp.uint32(0xFFF0)) << jnp.uint32(16), (
+                h & jnp.uint32(15)
+            ).astype(jnp.int32)
         lo = idx & 127
         hi = idx >= 128
         if fused:
