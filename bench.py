@@ -160,13 +160,14 @@ def main():
         # decode of perturbed bits costs the same (the kernel has no
         # data-dependent control flow).
         w = jw ^ carry
-        out, end = _decode_pipeline(
+        out, end, bad = _decode_pipeline(
             w, jb, jr, jn, K, Wb, G, struct.intervals, p32_flat, interp
         )
         return (
             carry
             ^ out.sum(dtype=jnp.uint32)
             ^ end.sum(dtype=jnp.int32).astype(jnp.uint32)
+            ^ bad.astype(jnp.uint32)
         )
 
     dec_s = _loop_time(dec_body, k_hi=args.k_hi)

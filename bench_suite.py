@@ -147,13 +147,14 @@ def bench_corpus(name, data_np, table, K, reps, emit):
 
     def dec_body(i, carry):
         w = jw ^ carry
-        out, end = _decode_pipeline(
+        out, end, bad = _decode_pipeline(
             w, jb, jr, jn, K, Wb, G, struct.intervals, p32_flat, interp
         )
         return (
             carry
             ^ out.sum(dtype=jnp.uint32)
             ^ end.sum(dtype=jnp.int32).astype(jnp.uint32)
+            ^ bad.astype(jnp.uint32)
         )
 
     dec_s = _loop_time(dec_body)

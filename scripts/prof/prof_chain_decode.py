@@ -64,7 +64,7 @@ print(f"big-output bench-style min: {best*1e3:.3f} ms ({N/best/1e9:.1f} GB/s)", 
 #    results are returned inline/eagerly
 @jax.jit
 def decode_sum(w):
-    out, end = _decode_pipeline(w, jb, jr, jn, K, Wb, G, struct.intervals, p32_flat, interp)
+    out, end, _bad = _decode_pipeline(w, jb, jr, jn, K, Wb, G, struct.intervals, p32_flat, interp)
     return out.sum(dtype=jnp.uint32) + end.sum(dtype=jnp.int32).astype(jnp.uint32)
 
 s = decode_sum(jw)
@@ -80,7 +80,7 @@ print(f"small-output bench-style min: {best*1e3:.3f} ms ({N/best/1e9:.1f} GB/s)"
 # c) chain with undroppable dependency
 @jax.jit
 def chain_step(w):
-    out, end = _decode_pipeline(w, jb, jr, jn, K, Wb, G, struct.intervals, p32_flat, interp)
+    out, end, _bad = _decode_pipeline(w, jb, jr, jn, K, Wb, G, struct.intervals, p32_flat, interp)
     s = out.sum(dtype=jnp.uint32) + end.sum(dtype=jnp.int32).astype(jnp.uint32)
     return w ^ s  # garbage next input; decode runtime is data-independent
 

@@ -89,7 +89,7 @@ def v0(seed):
     jj = lax.broadcasted_iota(jnp.int32, (1, Wb), 1)
     win = w[jb[:, None] + jj]
     win = win.reshape(G, 8, 128, Wb).transpose(0, 3, 1, 2)
-    out, end = call42(win, jrel, jns)
+    out, end, _bad = call42(win, jrel, jns)
     return seed ^ out.sum(dtype=jnp.uint32) ^ end.sum(dtype=jnp.int32).astype(jnp.uint32)
 
 
@@ -104,7 +104,7 @@ def v1(seed):
     c = jnp.take(s32, jr + 2, axis=0)
     win = jnp.concatenate([a, b, c], axis=1)
     win = win.reshape(G, 8, 128, 96).transpose(0, 3, 1, 2)
-    out, end = call96(win, jrel2, jns)
+    out, end, _bad = call96(win, jrel2, jns)
     return seed ^ out.sum(dtype=jnp.uint32) ^ end.sum(dtype=jnp.int32).astype(jnp.uint32)
 
 
@@ -126,7 +126,7 @@ def g32(s32, idx):
 def v2(seed):
     s32 = jspans ^ seed
     win = jnp.concatenate([g32(s32, jr), g32(s32, jr + 1), g32(s32, jr + 2)], axis=1)
-    out, end = call96(win, jrel2, jns)
+    out, end, _bad = call96(win, jrel2, jns)
     return seed ^ out.sum(dtype=jnp.uint32) ^ end.sum(dtype=jnp.int32).astype(jnp.uint32)
 
 
@@ -143,7 +143,7 @@ win42_0 = jnp.asarray(
 
 @jax.jit
 def k42(seed):
-    out, end = call42(win42_0 ^ seed, jrel, jns)
+    out, end, _bad = call42(win42_0 ^ seed, jrel, jns)
     return seed ^ out.sum(dtype=jnp.uint32) ^ end.sum(dtype=jnp.int32).astype(jnp.uint32)
 
 
@@ -160,14 +160,14 @@ win96_0 = jnp.asarray(
 
 @jax.jit
 def k96(seed):
-    out, end = call96(win96_0 ^ seed, jrel2, jns)
+    out, end, _bad = call96(win96_0 ^ seed, jrel2, jns)
     return seed ^ out.sum(dtype=jnp.uint32) ^ end.sum(dtype=jnp.int32).astype(jnp.uint32)
 
 
 chain(k96, "kernel only Wb=96")
 
 # correctness spot check: V1 path decodes to the original bytes
-out, _ = call96(
+out, _, _bad = call96(
     jnp.asarray(win96_0), jrel2, jns
 )
 flat = (

@@ -44,7 +44,7 @@ interp = _use_interpret()
 
 @jax.jit
 def step(seed):
-    out, end = _decode_pipeline(
+    out, end, _bad = _decode_pipeline(
         jw ^ seed, jb, jr, jn, K, Wb, G, struct.intervals, p32_flat, interp
     )
     return seed ^ out.sum(dtype=jnp.uint32) ^ end.sum(dtype=jnp.int32).astype(jnp.uint32)
@@ -63,7 +63,7 @@ for _ in range(3):
 print(f"decode pipeline v2: {best*1e3:.3f} ms ({N/best/1e9:.2f} GB/s)", flush=True)
 
 # correctness (after clocks): seed=0 path decodes to original bytes
-out, _ = _decode_pipeline(
+out, _, _bad = _decode_pipeline(
     jw, jb, jr, jn, K, Wb, G, struct.intervals, p32_flat, interp
 )
 flat = np.ascontiguousarray(np.asarray(out)).view(np.uint8).reshape(Bp, K)[:B]

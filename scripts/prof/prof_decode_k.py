@@ -48,7 +48,7 @@ for K in (128, 192, 256, 384, 512):
 
     @jax.jit
     def step(seed, jb=jb, jr=jr, jn=jn, K=K, Wb=Wb, G=G):
-        out, end = _decode_pipeline(
+        out, end, _bad = _decode_pipeline(
             jw ^ seed, jb, jr, jn, K, Wb, G, struct.intervals, p32_flat, interp
         )
         return seed ^ out.sum(dtype=jnp.uint32) ^ end.sum(dtype=jnp.int32).astype(jnp.uint32)

@@ -79,7 +79,7 @@ win0 = jnp.asarray(np.asarray(jw)[base[:, None] + np.arange(Wb)[None, :]]
 
 @jax.jit
 def kernel_step(win):
-    out, end = call(win, jrel, jns)
+    out, end, _bad = call(win, jrel, jns)
     s = out.sum(dtype=jnp.uint32) + end.sum(dtype=jnp.int32).astype(jnp.uint32)
     return win ^ s
 

@@ -83,7 +83,7 @@ def make_body(variant):
             rolled = jnp.pad(buf, ((0, 0), (k, 0)))[:, :Wtot]
             buf = jnp.where((a[:, None] & k) != 0, rolled, buf)
             k //= 2
-        r0 = (offs >> 12).astype(jnp.int32)
+        r0 = (offs >> (5 + SW.bit_length() - 1)).astype(jnp.int32)
         Wr = num_out_words // SW
         out2d = jnp.zeros((Wr, SW), dtype=jnp.uint32)
         for t in range(nrows):

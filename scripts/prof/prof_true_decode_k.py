@@ -78,7 +78,7 @@ for K in KS:
     jb, jr, jn = map(jnp.asarray, (base, rel, nsym))
 
     def body(i, carry, jb=jb, jr=jr, jn=jn, K=K, Wb=Wb, G=G):
-        out, end = _decode_pipeline(
+        out, end, _bad = _decode_pipeline(
             jw ^ carry, jb, jr, jn, K, Wb, G, struct.intervals, p32_flat,
             interp,
         )

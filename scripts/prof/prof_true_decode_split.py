@@ -75,7 +75,7 @@ def make_body(K, stage):
         w = jw ^ carry
         if stage == "staging":
             return carry ^ staging_only(w).sum(dtype=jnp.uint32)
-        out, end = pd._decode_pipeline(
+        out, end, _bad = pd._decode_pipeline(
             w, jb, jr, jn, K, Wb, G, struct.intervals, p32_flat, interp
         )
         return carry ^ out.sum(dtype=jnp.uint32) ^ end.sum(dtype=jnp.int32).astype(jnp.uint32)

@@ -78,7 +78,7 @@ def make_body(K, stage):
             k //= 2
         if stage == "barrel":
             return s ^ buf.sum(dtype=jnp.uint32) ^ total_bits.astype(jnp.uint32)
-        r0 = (offs >> 12).astype(jnp.int32)  # 5 + log2(SW)
+        r0 = (offs >> (5 + SW.bit_length() - 1)).astype(jnp.int32)
         Wr = num_out_words // SW
         if stage == "rows":
             out2d = jnp.zeros((Wr, SW), dtype=jnp.uint32)

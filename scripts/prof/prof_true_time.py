@@ -77,7 +77,7 @@ print(f"encode: K={K} Wb={Wb} G={G}; decode: K={Kd} Wb={Wbd} G={Gd}", flush=True
 
 
 def decode_body(w):
-    out, end = pd._decode_pipeline(
+    out, end, _bad = pd._decode_pipeline(
         w, dbase, drel, dnsym, Kd, Wbd, Gd, struct.intervals, p32_flat,
         pd._use_interpret(),
     )

@@ -78,6 +78,55 @@ def test_chunked_decode_roundtrip(data, step):
     assert out == data
 
 
+def _overwrite_bits(enc: bytes, off: int, width: int, value: int) -> bytes:
+    """Overwrite ``width`` bits at absolute bit offset ``off`` (MSB-first)."""
+    total = len(enc) * 8
+    bits = int.from_bytes(enc, "big")
+    mask = ((1 << width) - 1) << (total - off - width)
+    bits = (bits & ~mask) | (value << (total - off - width))
+    return bits.to_bytes(len(enc), "big")
+
+
+def test_indexed_decode_poison_raises():
+    """A corrupt stream under a trusted index must raise UnknownSymbolError
+    (reference condition: source/huffman.c:246), not emit silent garbage."""
+    from tpu_huffman.ops import pallas_decode
+
+    data = bytes(range(256)) * 4
+    enc, idx = th.encode_with_index(data, TABLE, block_symbols=32)
+    assert pallas_decode.supports(TABLE, 32)
+    # The static table is incomplete (Kraft sum < 1), so invalid root
+    # prefixes exist; plant one at block 1's indexed start offset.
+    bad_prefix = int(np.flatnonzero(TABLE.l0_bits == 0)[0])
+    off = int(idx.bit_offsets[1])
+    corrupt = _overwrite_bits(enc, off, TABLE.root_bits, bad_prefix)
+    with pytest.raises(th.UnknownSymbolError):
+        pallas_decode.decode_indexed_pallas(corrupt, idx, TABLE)
+    # ... and the same through the public dispatcher.
+    with pytest.raises(th.UnknownSymbolError):
+        th.decode_indexed(corrupt, idx, TABLE)
+    # The intact stream still round-trips (poison path has no false hits).
+    assert pallas_decode.decode_indexed_pallas(enc, idx, TABLE) == data
+
+
+@given(pos=st.integers(0, 511), val=st.integers(0, 255))
+@settings(max_examples=20, deadline=None)
+def test_indexed_decode_mutated_bytes_no_crash(pos, val):
+    """Byte mutations under a fixed index: clean output or UnknownSymbolError,
+    never a crash (reference fuzz tier: tests/fuzz/decode.c)."""
+    from tpu_huffman.ops import pallas_decode
+
+    data = bytes(range(256)) * 4
+    enc, idx = th.encode_with_index(data, TABLE, block_symbols=32)
+    mutated = bytearray(enc)
+    mutated[pos % len(enc)] = val
+    try:
+        out = pallas_decode.decode_indexed_pallas(bytes(mutated), idx, TABLE)
+    except th.UnknownSymbolError:
+        return
+    assert isinstance(out, bytes) and len(out) == len(data)
+
+
 @given(seed=st.integers(0, 2**31 - 1))
 @settings(max_examples=10, deadline=None)
 def test_sparse_table_decode_rejects_or_roundtrips(seed):

@@ -120,6 +120,80 @@ def structure_for(table: HuffmanTable) -> RangeMonotone | None:
     return _STRUCT_CACHE[key]
 
 
+@dataclasses.dataclass(frozen=True)
+class Predecessor:
+    """General-table decode structure: sorted codeword-boundary search.
+
+    Works for ANY prefix-free table (the reference generator accepts any
+    prefix tree, generator.c:236-278), unlike RangeMonotone. Sorted by
+    MSB-aligned value, the codewords' 32-bit intervals
+    [c << (32-L), (c+1) << (32-L)) are disjoint (prefix-freeness), so a
+    window w decodes to code i iff i = predecessor(w) over the sorted
+    boundaries AND w's top L_i bits equal code i's. The kernel computes
+    predecessor(w) as a bucket-seeded branchless binary search: a 256-entry
+    root LUT on the top 8 bits gives the starting rank, then ``steps``
+    rounds of (gather boundary, compare, conditional advance) — cost
+    independent of the table's shape.
+
+    key: hashable static form for the lru-cached pallas_call:
+    (bounds[256] u32 MSB-aligned sorted (0xFFFFFFFF padded),
+     ents[256] = (len << 8) | sym (0 padded),
+     cnt_less[256] root LUT (#boundaries < p << 24),
+     steps, m, min_len, max_len).
+    """
+
+    key: tuple
+
+
+def predecessor_structure(table: HuffmanTable) -> Predecessor:
+    codes = sorted(
+        (
+            int(table.patterns[s]) << (32 - int(table.lengths[s])),
+            int(table.lengths[s]),
+            s,
+        )
+        for s in range(256)
+        if table.lengths[s]
+    )
+    m = len(codes)
+    bounds = tuple(c32 for c32, _, _ in codes) + (0xFFFFFFFF,) * (256 - m)
+    ents = tuple((L << 8) | s for _, L, s in codes) + (0,) * (256 - m)
+    b_arr = np.asarray(bounds[:m], dtype=np.uint64)
+    cnt_less = tuple(
+        int(np.searchsorted(b_arr, p << 24, side="left")) for p in range(256)
+    )
+    pops = [
+        (cnt_less[p + 1] if p < 255 else m) - cnt_less[p] for p in range(256)
+    ]
+    steps = max(1, max(pops).bit_length())
+    return Predecessor(
+        key=(bounds, ents, cnt_less, steps, m, table.min_len, table.max_len)
+    )
+
+
+_PRED_CACHE: dict[int, Predecessor] = {}
+
+
+def predecessor_structure_for(table: HuffmanTable) -> Predecessor:
+    key = id(table)
+    if key not in _PRED_CACHE:
+        _PRED_CACHE[key] = predecessor_structure(table)
+    return _PRED_CACHE[key]
+
+
+def decode_dispatch(table: HuffmanTable) -> tuple:
+    """Static (intervals, aux) pair keying the kernel's window decoder.
+
+    Range-monotone tables use the arithmetic interval decoder (fastest);
+    any other prefix-free table uses the predecessor-search decoder —
+    signalled by ``intervals is None`` with aux = Predecessor.key.
+    """
+    struct = structure_for(table)
+    if struct is not None:
+        return struct.intervals, tuple(x for row in struct.p32 for x in row)
+    return None, predecessor_structure_for(table).key
+
+
 def _make_perm_select(p32_flat):
     """perm[rank] via select tree over scalar-constant packed rows."""
     P32 = [list(p32_flat[a * 4 : a * 4 + 4]) for a in range(16)]
@@ -273,7 +347,7 @@ def _make_pallas_call(intervals, p32_flat, K: int, Wb: int, G: int, interpret: b
         perm32_np.view(np.int32), (1, 8, 128)
     ).copy()
 
-    def kernel(win_ref, rel_ref, nsym_ref, perm_ref, out_ref, end_ref):
+    def kernel(win_ref, rel_ref, nsym_ref, perm_ref, out_ref, end_ref, bad_ref):
         perm32 = perm_ref[0]
 
         def perm_select(rank):
@@ -323,6 +397,7 @@ def _make_pallas_call(intervals, p32_flat, K: int, Wb: int, G: int, interpret: b
         ns = nsym_ref[0]
         off = rel & 31
         base = a  # words already rolled off the front (for end_ref)
+        bad = jnp.zeros((8, 128), jnp.bool_)
         S4 = S // 4
         # Per-re-anchor roll distance d = off>>5 with off <= 31 + S*mx.
         roll_ks = [k for k in (64, 32, 16, 8, 4, 2, 1) if k <= (31 + S * mx) >> 5]
@@ -336,6 +411,13 @@ def _make_pallas_call(intervals, p32_flat, K: int, Wb: int, G: int, interpret: b
                     hi = min((31 + il * mx) >> 5, len(w) - 2)
                     sym, ln = decode_bounded(w, off, lo, hi)
                     active = i < ns
+                    # Poison flag: an active symbol with no matching code
+                    # means the (trusted) index points into a corrupt
+                    # stream — the reference's UNKNOWN_SYMBOL condition
+                    # (source/huffman.c:246); the wrapper raises. The
+                    # window simply repeats (off += 0), emitting flagged
+                    # garbage that never reaches the caller.
+                    bad = bad | (active & (ln == 0))
                     packed = packed | (
                         jnp.where(active, sym, jnp.uint32(0)) << jnp.uint32(8 * v)
                     )
@@ -360,6 +442,7 @@ def _make_pallas_call(intervals, p32_flat, K: int, Wb: int, G: int, interpret: b
                 base = base + d
                 off = off - (d << 5)
         end_ref[0] = off + (base << 5)
+        bad_ref[0] = bad.astype(jnp.int32)
 
     grid_spec = pl.GridSpec(
         grid=(G,),
@@ -372,6 +455,7 @@ def _make_pallas_call(intervals, p32_flat, K: int, Wb: int, G: int, interpret: b
         out_specs=[
             pl.BlockSpec((K4, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
         ],
     )
     call = pl.pallas_call(
@@ -379,6 +463,7 @@ def _make_pallas_call(intervals, p32_flat, K: int, Wb: int, G: int, interpret: b
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((G * K4, 8, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
             jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
         ],
         interpret=interpret,
@@ -406,7 +491,9 @@ def _use_interpret() -> bool:
 @functools.partial(jax.jit, static_argnames=("K", "Wb", "G", "intervals", "p32_flat", "interpret"))
 def _decode_pipeline(words, base, rel, nsym, K, Wb, G, intervals, p32_flat, interpret):
     """words u32[*], base i32[B] (word index of block start), rel i32[B]
-    (bit within that word), nsym i32[B] -> (packed symbols, end bits).
+    (bit within that word), nsym i32[B] -> (packed symbols, end bits,
+    bad_any flag — True when any active symbol hit an invalid prefix,
+    the reference's UNKNOWN_SYMBOL condition, source/huffman.c:246).
 
     Staging is NR aligned 32-word row-takes per block — elementwise window
     gathers cost ~9 ns/element on this rig (MEASURING.md §2) while aligned
@@ -430,12 +517,12 @@ def _decode_pipeline(words, base, rel, nsym, K, Wb, G, intervals, p32_flat, inte
         axis=1,
     )
     win = win.reshape(G, 8, 128, NR * RW).transpose(0, 3, 1, 2)
-    out, end = _make_pallas_call(intervals, p32_flat, K, Wb, G, interpret)(
+    out, end, bad = _make_pallas_call(intervals, p32_flat, K, Wb, G, interpret)(
         win, rel2.reshape(G, 8, 128), nsym.reshape(G, 8, 128)
     )
     K4 = K // 4
     out = out.reshape(G, K4, 8, 128).transpose(0, 2, 3, 1).reshape(G * LANES, K4)
-    return out, end
+    return out, end, jnp.any(bad > 0)
 
 
 def plan_wb(index, table: HuffmanTable) -> int:
@@ -503,11 +590,15 @@ def decode_indexed_pallas(
     rel[:B] = off64 & 31
     nsym[:B] = index.n_symbols
 
-    out, _end = _decode_pipeline(
+    out, _end, bad = _decode_pipeline(
         jnp.asarray(words_np), jnp.asarray(base), jnp.asarray(rel), jnp.asarray(nsym),
         K, Wb, G, struct.intervals, tuple(x for row in struct.p32 for x in row),
         _use_interpret(),
     )
+    if bool(bad):
+        from ..errors import UnknownSymbolError
+
+        raise UnknownSymbolError()
     flat = (
         np.ascontiguousarray(np.asarray(out))
         .view(np.uint8)

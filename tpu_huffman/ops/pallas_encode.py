@@ -369,10 +369,12 @@ def _exclusive_cumsum_blocks(bits, C=128, mxu_inner=False):
     against an upper-triangular ones matrix instead of a ~7-op log-shift
     chain (which dominated the ~70 us cumsum stage of the encode pipeline
     at 8 MiB, prof_true_stitch.py). f32 is exact only while each ROW SUM
-    stays below 2^24, which holds for the top level (row sum <= 128 blocks
-    x K<=2048 symbols x max_len<=32 bits = 2^23) but NOT for the recursive
-    levels, whose values accumulate to the full stream bit count — those
-    always take the int32 log-shift path.
+    stays below 2^24. PRECONDITION (caller-checked at the _encode_pipeline
+    call site): pass mxu_inner=True only when 128 * max_row_entry <= 2^24
+    (for the encode pipeline: 128 * K * max_len <= 2^24; the default
+    pack_k keeps K*max_len <= 32768, far inside). Recursive levels
+    accumulate to the full stream bit count and always take the exact
+    int32 log-shift path.
     """
     B = bits.shape[0]
     Bp = -(-B // C) * C
@@ -454,7 +456,12 @@ def _encode_pipeline(
     # which measured ~160 us at 8 MiB (scripts/prof/prof_true_stitch.py).
     bits4 = bits.reshape(G, nsub, 8, 128)
     bt = bits4.sum(axis=1).reshape(B)  # per-block bit totals, b-order
-    offs, total_bits = _exclusive_cumsum_blocks(bt, mxu_inner=True)
+    # f32 MXU cumsum is exact only while a 128-block row sum stays < 2^24;
+    # each block is <= K*max_len bits, so guard on 128*K*max_len. Beyond
+    # that (huge public K on a deep table) take the exact int32 path.
+    offs, total_bits = _exclusive_cumsum_blocks(
+        bt, mxu_inner=(128 * K * max_len <= 1 << 24)
+    )
     if nsub > 1:
         # Sub-block inclusive chain feeds ONLY the returned index; when the
         # caller drops offs_sub (the fixed-shape bench/entry seam) XLA DCEs

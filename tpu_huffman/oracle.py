@@ -218,8 +218,13 @@ class OracleDecoder:
             pending = pending[consumed:]
             if done and not pending:
                 return b"".join(chunks)
-            if done and pending:
-                continue  # decoder wants more input fed (shouldn't happen here)
+            if done and consumed == 0 and not out:
+                # Ok status with unconsumed input and zero progress would
+                # spin forever; surface it instead (cannot happen with a
+                # spec-conforming decoder, but guard the loop).
+                raise RuntimeError(
+                    "C++ decoder returned Ok without consuming input"
+                )
 
 
 def oracle_encode(data: bytes, table: HuffmanTable, eos_padding: int = 0xFF) -> bytes:

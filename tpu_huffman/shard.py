@@ -363,8 +363,8 @@ class MeshCodec:
         )
         fn = jax.jit(
             jax.shard_map(
-                body, mesh=self.mesh, in_specs=(spec,) * 4, out_specs=spec,
-                check_vma=False,
+                body, mesh=self.mesh, in_specs=(spec,) * 4,
+                out_specs=(spec, spec), check_vma=False,
             )
         )
         self._pdec_cache[key] = fn
@@ -407,12 +407,14 @@ class MeshCodec:
         rel.reshape(-1)[flatpos] = (rel_bits & 31).astype(np.int32)
         nsym.reshape(-1)[flatpos] = index.n_symbols
 
-        out = self._pallas_decode_sharded(K, Wb, G)(
+        out, bad = self._pallas_decode_sharded(K, Wb, G)(
             jnp.asarray(win).reshape(-1),
             jnp.asarray(base).reshape(-1),
             jnp.asarray(rel).reshape(-1),
             jnp.asarray(nsym).reshape(-1),
         )
+        if bool(jnp.any(bad > 0)):
+            raise UnknownSymbolError()
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
 
@@ -505,15 +507,15 @@ def _shard_decode_body_pallas(win, base, rel, nsym, *, K, Wb, G, intervals,
     """Per-shard Pallas mini-block decode; under shard_map.
 
     win: uint32[wmax] this shard's word window; base/rel/nsym: int32[G*1024]
-    per-lane (word index, bit-in-word, symbol count). Returns the packed
-    symbol tile flattened (uint32[G*1024*K/4])."""
+    per-lane (word index, bit-in-word, symbol count). Returns (packed symbol
+    tile flattened uint32[G*1024*K/4], bad int32[1] poison flag)."""
     from .ops.pallas_decode import _decode_pipeline
 
-    out, _end = _decode_pipeline(
+    out, _end, bad = _decode_pipeline(
         win.reshape(-1), base.reshape(-1), rel.reshape(-1), nsym.reshape(-1),
         K, Wb, G, intervals, p32_flat, interpret,
     )
-    return out.reshape(-1)
+    return out.reshape(-1), bad.astype(jnp.int32)[None]
 
 
 def _shard_decode_body(win, rel_offsets, n_sym, l0_bits, l0_val, l1_bits, l1_val,

@@ -244,9 +244,7 @@ class HuffmanDecoder:
         (reference README.md:176-183).
         """
         total = self._rem.size * 8 - self._rem_start_bit
-        value = 0
-        for i in range(self._rem.size):
-            value = (value << 8) | int(self._rem[i])
+        value = int.from_bytes(self._rem.tobytes(), "big")
         value &= (1 << total) - 1 if total else 0
         return value, total
 
