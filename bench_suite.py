@@ -1,8 +1,14 @@
 """Extended benchmark suite: BASELINE.md measurement configs beyond #1.
 
 Prints one JSON line per config (same schema as bench.py). Configs:
-  ascii_text   — skewed English-like corpus (stand-in for Canterbury/Silesia,
-                 which can't be fetched in this zero-egress environment)
+  canterbury   — deterministic Canterbury-equivalent corpus mix
+                 (tpu_huffman/corpora.py: english/html/source/csv/
+                 executable/fax categories; the real files can't be
+                 fetched in this zero-egress environment, so generators
+                 with documented construction replace them), encoded with
+                 a table built from the corpus (build_table)
+  ascii_text   — the round-1 skewed English-like stand-in (kept for
+                 cross-round comparability), static test table
   table_5_30   — canonical table with code lengths spanning 5..30 bits
                  (BASELINE config 3)
   streaming    — chunked SHORT_BUFFER-protocol round trip, 1 MiB output
@@ -263,7 +269,7 @@ def main():
     ap.add_argument("--stream-mb", type=float, default=64.0)
     ap.add_argument("--chunk-mb", type=float, default=1.0)
     ap.add_argument("--repeats", type=int, default=25)
-    ap.add_argument("--configs", default="ascii_text,table_5_30,streaming")
+    ap.add_argument("--configs", default="canterbury,ascii_text,table_5_30,streaming")
     args = ap.parse_args()
 
     configs = args.configs.split(",")
@@ -293,7 +299,15 @@ def main():
 
     config = configs[0]
     n = int(args.mb * (1 << 20))
-    if config == "ascii_text":
+    if config == "canterbury":
+        from tpu_huffman import corpora
+
+        corpus = np.frombuffer(corpora.canterbury_like(n, seed=42), dtype=np.uint8)
+        # Realistic use of a static-Huffman codec on a known corpus class:
+        # the table is built from the data (package-merge optimal, <=14 bit).
+        table = th.build_table(corpus, max_len=14, name="canterbury_built")
+        bench_corpus("canterbury", corpus, table, 512, args.repeats, emit)
+    elif config == "ascii_text":
         table = th.load_static_test_table()
         corpus = np.frombuffer(english_like_corpus(n), dtype=np.uint8)
         bench_corpus("ascii_text", corpus, table, 512, args.repeats, emit)

@@ -50,7 +50,7 @@ inline std::string test_transitive_chunked(const Table& t, const uint8_t* data, 
         std::vector<uint8_t> chunk(output_chunk_size);
         size_t written = 0;
         Status st = enc.encode(&p, &len, chunk.data(), output_chunk_size, &written);
-        out.insert(out.end(), chunk.begin(), chunk.begin() + written);
+        out.insert(out.end(), chunk.begin(), chunk.begin() + static_cast<ptrdiff_t>(written));
         if (st == Status::Ok) break;
         if (st != Status::ShortBuffer) return "unexpected encode status";
     }
@@ -65,7 +65,7 @@ inline std::string test_transitive_chunked(const Table& t, const uint8_t* data, 
         std::vector<uint8_t> chunk(output_chunk_size);
         size_t written = 0;
         Status st = dec.decode(&q, &qlen, chunk.data(), output_chunk_size, &written);
-        plain.insert(plain.end(), chunk.begin(), chunk.begin() + written);
+        plain.insert(plain.end(), chunk.begin(), chunk.begin() + static_cast<ptrdiff_t>(written));
         if (st == Status::Ok && qlen == 0) break;
         if (st != Status::Ok && st != Status::ShortBuffer) return "unexpected decode status";
     }

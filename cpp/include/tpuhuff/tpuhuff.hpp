@@ -74,8 +74,9 @@ class TPUHUFF_API Table {
         }
         int width = -b;
         uint32_t sub = (bits << root_bits_) >> (32 - width);
-        int32_t b1 = l1_bits_[v + sub];
-        *symbol = static_cast<uint8_t>(l1_val_[v + sub]);
+        size_t i1 = static_cast<size_t>(v) + sub;
+        int32_t b1 = l1_bits_[i1];
+        *symbol = static_cast<uint8_t>(l1_val_[i1]);
         return static_cast<uint8_t>(b1);
     }
 
@@ -161,8 +162,9 @@ class TPUHUFF_API Decoder {
 };
 
 // Convenience one-shot helpers (grow-as-needed; used by tools/tests).
-TPUHUFF_API Status encode_all(const Table& t, const uint8_t* in, size_t n, std::vector<uint8_t>* out,
-                  uint8_t eos_padding = 0xFF);
-TPUHUFF_API Status decode_all(const Table& t, const uint8_t* in, size_t n, std::vector<uint8_t>* out);
+TPUHUFF_API Status encode_all(const Table& t, const uint8_t* in, size_t n,
+                              std::vector<uint8_t>* out, uint8_t eos_padding = 0xFF);
+TPUHUFF_API Status decode_all(const Table& t, const uint8_t* in, size_t n,
+                              std::vector<uint8_t>* out);
 
 }  // namespace tpuhuff

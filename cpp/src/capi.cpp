@@ -21,8 +21,10 @@ extern "C" {
 TPUHUFF_API void* th_table_create(const uint16_t* symbols, const uint8_t* num_bits,
                       const uint32_t* patterns, int n, int root_bits) {
     try {
-        std::vector<CodeSpec> specs(n);
-        for (int i = 0; i < n; ++i) specs[i] = {symbols[i], num_bits[i], patterns[i]};
+        std::vector<CodeSpec> specs(static_cast<size_t>(n));
+        for (size_t i = 0; i < specs.size(); ++i) {
+            specs[i] = {symbols[i], num_bits[i], patterns[i]};
+        }
         return new Table(specs, root_bits);
     } catch (...) {
         return nullptr;
@@ -38,7 +40,9 @@ TPUHUFF_API void* th_encoder_create(void* table, uint8_t eos_padding) {
 }
 TPUHUFF_API void th_encoder_destroy(void* e) { delete static_cast<Encoder*>(e); }
 TPUHUFF_API void th_encoder_reset(void* e) { static_cast<Encoder*>(e)->reset(); }
-TPUHUFF_API uint32_t th_encoder_carry_pattern(void* e) { return static_cast<Encoder*>(e)->carry_pattern(); }
+TPUHUFF_API uint32_t th_encoder_carry_pattern(void* e) {
+    return static_cast<Encoder*>(e)->carry_pattern();
+}
 TPUHUFF_API uint8_t th_encoder_carry_len(void* e) { return static_cast<Encoder*>(e)->carry_len(); }
 
 TPUHUFF_API uint64_t th_encoded_length(void* e, const uint8_t* in, uint64_t in_len) {
@@ -63,7 +67,9 @@ TPUHUFF_API void* th_decoder_create(void* table) {
 }
 TPUHUFF_API void th_decoder_destroy(void* d) { delete static_cast<Decoder*>(d); }
 TPUHUFF_API void th_decoder_reset(void* d) { static_cast<Decoder*>(d)->reset(); }
-TPUHUFF_API uint64_t th_decoder_working_bits(void* d) { return static_cast<Decoder*>(d)->working_bits(); }
+TPUHUFF_API uint64_t th_decoder_working_bits(void* d) {
+    return static_cast<Decoder*>(d)->working_bits();
+}
 TPUHUFF_API uint8_t th_decoder_num_bits(void* d) { return static_cast<Decoder*>(d)->num_bits(); }
 
 TPUHUFF_API int th_decode(void* d, const uint8_t* in, uint64_t in_len, uint64_t* in_consumed,

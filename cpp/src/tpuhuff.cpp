@@ -60,7 +60,8 @@ Table::Table(const std::vector<CodeSpec>& specs, int root_bits) {
         l1_val_.resize(base + (size_t{1} << width), 0);
         for (int sym : syms) {
             int ln = lengths_[sym];
-            uint32_t rest = patterns_[sym] & ((uint64_t{1} << (ln - root_bits_)) - 1);
+            uint32_t rest =
+                patterns_[sym] & static_cast<uint32_t>((uint64_t{1} << (ln - root_bits_)) - 1);
             uint32_t lo = rest << (width - (ln - root_bits_));
             uint32_t hi = (rest + 1) << (width - (ln - root_bits_));
             for (uint32_t i = lo; i < hi; ++i) {

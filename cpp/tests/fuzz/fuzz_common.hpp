@@ -89,7 +89,9 @@ int main(int argc, char** argv) {
             std::vector<uint8_t> enc;
             tpuhuff::encode_all(fuzzutil::static_table(), buf.data(), n, &enc);
             buf.assign(enc.begin(), enc.end());
-            if (!buf.empty() && it % 6 == 1) buf[rng() % buf.size()] ^= 1u << (rng() % 8);
+            if (!buf.empty() && it % 6 == 1) {
+                buf[rng() % buf.size()] ^= static_cast<uint8_t>(1u << (rng() % 8));
+            }
         }
         LLVMFuzzerTestOneInput(buf.data(), buf.size());
     }

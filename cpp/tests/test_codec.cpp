@@ -81,7 +81,7 @@ static void test_encode_chunked(const Table& t, const std::vector<uint8_t>& inpu
         std::vector<uint8_t> chunk(step);
         size_t written = 0;
         Status st = enc.encode(&p, &len, chunk.data(), step, &written);
-        out.insert(out.end(), chunk.begin(), chunk.begin() + written);
+        out.insert(out.end(), chunk.begin(), chunk.begin() + static_cast<ptrdiff_t>(written));
         if (st == Status::Ok) break;
         CHECK(st == Status::ShortBuffer);
     }
@@ -107,7 +107,7 @@ static void test_decode_chunked(const Table& t, const std::vector<uint8_t>& plai
         std::vector<uint8_t> chunk(out_step);
         size_t written = 0;
         Status st = dec.decode(&p, &len, chunk.data(), out_step, &written);
-        out.insert(out.end(), chunk.begin(), chunk.begin() + written);
+        out.insert(out.end(), chunk.begin(), chunk.begin() + static_cast<ptrdiff_t>(written));
         in_pos += feed - len;
         if (st == Status::Ok && in_pos == encoded.size() && len == 0) break;
         CHECK(st == Status::Ok || st == Status::ShortBuffer);
@@ -162,7 +162,7 @@ int main(int argc, char** argv) {
     std::vector<uint8_t> url(kUrl, kUrl + sizeof(kUrl) - 1);
     std::vector<uint8_t> all;
     for (int c = 0x20; c < 0x7F; ++c) all.push_back(static_cast<uint8_t>(c));
-    for (size_t step : {1, 2, 4, 8, 16, 32, 64, 128}) {  // huffman_test.c:39
+    for (size_t step : {1u, 2u, 4u, 8u, 16u, 32u, 64u, 128u}) {  // huffman_test.c:39
         test_encode_chunked(t, url, step);
         test_encode_chunked(t, all, step);
         test_decode_chunked(t, url, step, step);
@@ -174,7 +174,7 @@ int main(int argc, char** argv) {
     // Shipped helper oracles (tpuhuff/testing.hpp, reference parity with
     // source/huffman_testing.c).
     CHECK(test_transitive(t, all.data(), all.size()).empty());
-    for (size_t step : {1, 2, 4, 8, 16, 32, 64, 128}) {
+    for (size_t step : {1u, 2u, 4u, 8u, 16u, 32u, 64u, 128u}) {
         std::string err = test_transitive_chunked(t, all.data(), all.size(), step);
         if (!err.empty()) std::printf("  chunked step %zu: %s\n", step, err.c_str());
         CHECK(err.empty());

@@ -150,3 +150,36 @@ def test_bucketing_boundary_sizes(table):
         enc = th.encode(data, table)
         assert th.decode(enc, table) == data
         assert len(enc) == th.get_encoded_length(data, table)
+
+
+def test_corpora_deterministic_and_roundtrip():
+    """Vendored Canterbury-equivalent generators (BASELINE config 2): same
+    bytes on every call, and every category round-trips bit-exactly with a
+    corpus-built table."""
+    from tpu_huffman import corpora
+
+    table_static = th.load_static_test_table()
+    for name, gen in corpora.CATEGORIES.items():
+        a = gen(4096, seed=7)
+        b = gen(4096, seed=7)
+        assert a == b and len(a) == 4096, name
+        assert gen(4096, seed=8) != a, name  # seed actually matters
+        built = th.build_table(a, max_len=14, name=f"{name}_tbl")
+        pad = th.safe_eos_padding(built)
+        if pad is not None:
+            # a padding byte whose tail can't complete a code: lossless
+            enc = th.encode(a, built, eos_padding=pad)
+            assert th.decode(enc, built) == a, name
+        else:
+            # Kraft-complete short-code table: ANY padding can decode (the
+            # reference leaves this to the caller, README.md:176-183) —
+            # the payload prefix must still be exact.
+            enc = th.encode(a, built)
+            dec = th.decode(enc, built)
+            assert dec[: len(a)] == a, name
+            assert len(dec) - len(a) <= 7 // max(built.min_len, 1), name
+        assert len(enc) < len(a), f"{name}: not compressible?"
+    mix = corpora.canterbury_like(8192, seed=42)
+    assert mix == corpora.canterbury_like(8192, seed=42)
+    enc = th.encode(mix, table_static)
+    assert th.decode(enc, table_static) == mix

@@ -33,16 +33,21 @@ def test_supports_envelope(table):
     assert not pallas_decode.supports(table, 1024)  # too deep
 
 
-def test_non_monotone_table_falls_back():
-    # Codes 00, 01, 11: length-2 codes {0, 1, 3} are not consecutive.
+def test_non_monotone_table_on_fast_path():
+    # Codes 00, 01, 11: length-2 codes {0, 1, 3} are not consecutive, so no
+    # range-monotone structure — the predecessor-search decoder (round 2)
+    # handles it on the Pallas fast path (no fallback; the reference
+    # generator accepts arbitrary prefix trees, generator.c:236-278).
     t = HuffmanTable.from_specs(
         [CodeSpec(97, 2, 0), CodeSpec(98, 2, 1), CodeSpec(99, 2, 3)], name="gap"
     )
     assert pallas_decode.structure_for(t) is None
-    assert not pallas_decode.supports(t, 32)
-    # decode_indexed still works through the scan kernel
+    assert pallas_decode.supports(t, 32)
+    iv, _aux = pallas_decode.decode_dispatch(t)
+    assert iv is None  # predecessor form selected
     data = b"abcabccba"
     enc, idx = th.encode_with_index(data, t, block_symbols=4)
+    assert pallas_decode.decode_indexed_pallas(enc, idx, t) == data
     assert th.decode_indexed(enc, idx, t) == data
 
 

@@ -190,3 +190,75 @@ def test_chunked_random_data(table):
     rng = np.random.default_rng(5)
     data = rng.integers(0, 256, size=3000, dtype=np.uint8).tobytes()
     oracle.transitive_chunked(table, data, None, 17)
+
+
+# --- capacity-bounded bulk decode (round 2: SHORT_BUFFER at device speed) ---
+
+
+def test_decode_chunk_capped_bulk_path(monkeypatch):
+    """Capacity-bounded decode_chunk rides the capped self-sync kernel for
+    big retained streams: the reference's SHORT_BUFFER resume contract
+    (huffman.c:257-268, huffman_testing.c:75-173) off the scan kernel."""
+    from tpu_huffman import oracle as coracle
+    from tpu_huffman import stream as stream_mod
+    from tpu_huffman.ops import pallas_decode, selfsync
+
+    table = th.load_static_test_table()
+    monkeypatch.setattr(pallas_decode, "_on_tpu", lambda: True)
+    monkeypatch.setattr(stream_mod, "BULK_DECODE_THRESHOLD", 256)
+    orig = selfsync.selfsync_decode_capped
+    called = {}
+
+    def spy(raw, tab, capacity, seg_words=selfsync.SEG_WORDS, start_bit=0):
+        called["n"] = called.get("n", 0) + 1
+        return orig(raw, tab, capacity, seg_words=4, start_bit=start_bit)
+
+    monkeypatch.setattr(selfsync, "selfsync_decode_capped", spy)
+    rng = np.random.default_rng(12)
+    data = rng.integers(0, 256, size=4000, dtype=np.uint8).tobytes()
+    enc = th.encode(data, table)
+
+    # Drive ours and the C++ oracle through the same capacity protocol and
+    # compare EVERY chunk, not just the concatenation (VERDICT r1 item 9).
+    dec = th.HuffmanDecoder(table)
+    odec = coracle.OracleDecoder(coracle.OracleTable(table))
+    pending_o = enc
+    cap = 700
+    res = dec.decode_chunk(enc, capacity=cap)
+    out = res.data
+    while True:
+        o_out, o_consumed, o_done = odec.decode_chunk(pending_o, cap)
+        pending_o = pending_o[o_consumed:]
+        assert res.data == o_out
+        assert res.done == (o_done and not pending_o)
+        if res.done:
+            break
+        res = dec.decode_chunk(b"", capacity=cap)
+        out += res.data
+    assert out == data
+    assert called.get("n", 0) >= 3
+
+
+def test_selfsync_capped_matches_unbounded(monkeypatch):
+    """Chained capped calls reproduce the one-shot decode exactly, at every
+    capacity, including resume mid-byte."""
+    from tpu_huffman.ops import selfsync
+
+    table = th.load_static_test_table()
+    rng = np.random.default_rng(9)
+    data = rng.integers(0, 256, size=2500, dtype=np.uint8).tobytes()
+    enc = th.encode(data, table)
+    for cap in (64, 333, 2499, 2500, 9999):
+        got = b""
+        rem = enc
+        start_bit = 0
+        while True:
+            out, end, more = selfsync.selfsync_decode_capped(
+                rem, table, cap, seg_words=4, start_bit=start_bit
+            )
+            got += out
+            rem = rem[end // 8 :]
+            start_bit = end % 8
+            if not more:
+                break
+        assert got == data, cap

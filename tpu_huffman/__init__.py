@@ -40,6 +40,7 @@ from .tables import (
     load_static_test_table,
     make_canonical,
     optimal_code_lengths,
+    safe_eos_padding,
 )
 
 __version__ = "0.1.0"
@@ -94,4 +95,5 @@ __all__ = [
     "load_static_test_table",
     "make_canonical",
     "optimal_code_lengths",
+    "safe_eos_padding",
 ]

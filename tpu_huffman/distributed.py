@@ -75,17 +75,17 @@ def dcn_ici_mesh() -> Mesh:
 def encode_global(codec, local_data: bytes):
     """Data-parallel encode where each process contributes its own bytes.
 
-    All processes must call this collectively with equal-length shards
-    (pad the tail host if needed and trim after). Returns
-    (encoded_bytes, BlockIndex) replicated on every process.
+    All processes must call this collectively. The raw input is NEVER
+    gathered: each host feeds only its local shard via
+    ``jax.make_array_from_process_local_data``; the only cross-host
+    traffic is the per-shard bit totals (tiny), the compressed output
+    words, and the O(blocks) offset index (see MeshCodec.encode_sharded).
+    Shard lengths may differ across hosts. Returns (encoded_bytes,
+    BlockIndex) replicated on every process; the bytes are bit-identical
+    to the single-stream encoding of the hosts' data concatenated in
+    process order.
     """
-    from jax.experimental import multihost_utils
-
-    local = np.frombuffer(bytes(local_data), dtype=np.uint8)
-    # Gather every host's shard so the (host-side) stitch and index build
-    # see the whole stream; the device work stays sharded inside codec.
-    global_arr = multihost_utils.process_allgather(local)
-    return codec.encode(np.concatenate(global_arr).tobytes())
+    return codec.encode_sharded(local_data)
 
 
 def decode_global(codec, encoded: bytes, index):

@@ -221,15 +221,10 @@ def _decode_impl(data, table, max_output):
         from . import pallas_decode, selfsync
 
         if pallas_decode._on_tpu() and selfsync.supports(table):
+            # Covers ANY prefix-free table: range-monotone tables decode
+            # via interval arithmetic, the rest via the predecessor-search
+            # window decoder — no CPU fallback.
             return selfsync.selfsync_decode(raw, table)
-        if len(raw) > (1 << 20):
-            # Non-range-monotone table on a big foreign stream: the scan
-            # kernel is minutes/MB on TPU, so route to the native host codec
-            # (cpp/), which is part of this framework and bit-exact.
-            from .. import oracle
-
-            if oracle.oracle_available():
-                return oracle.oracle_decode(raw, table)
     words_np, nbytes = words_from_bytes_np(raw)
     words = jnp.concatenate(
         [jnp.asarray(words_np), jnp.zeros(2, dtype=jnp.uint32)]

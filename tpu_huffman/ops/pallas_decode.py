@@ -194,31 +194,6 @@ def decode_dispatch(table: HuffmanTable) -> tuple:
     return None, predecessor_structure_for(table).key
 
 
-def _make_perm_select(p32_flat):
-    """perm[rank] via select tree over scalar-constant packed rows."""
-    P32 = [list(p32_flat[a * 4 : a * 4 + 4]) for a in range(16)]
-
-    def perm_select(rank):
-        a = rank >> 4
-        b = rank & 15
-        cur = [[jnp.uint32(P32[r][w]) for w in range(4)] for r in range(16)]
-        for bit in range(4):
-            t = ((a >> bit) & 1) == 1
-            cur = [
-                [jnp.where(t, cur[2 * i + 1][w], cur[2 * i][w]) for w in range(4)]
-                for i in range(len(cur) // 2)
-            ]
-        row = cur[0]
-        t0 = (b & 4) != 0
-        w01 = jnp.where(t0, row[1], row[0])
-        w23 = jnp.where(t0, row[3], row[2])
-        word = jnp.where((b & 8) != 0, w23, w01)
-        sh = ((b & 3) << 3).astype(jnp.uint32)
-        return (word >> sh) & jnp.uint32(0xFF)
-
-    return perm_select
-
-
 def _interval_decode(w, intervals):
     """Arithmetic (rank, ln) from an MSB-aligned 32-bit window ``w``.
 
@@ -238,38 +213,132 @@ def _interval_decode(w, intervals):
     return rank, ln
 
 
-def _make_decode_step(win, Wb, intervals, p32_flat):
-    """Shared per-symbol machinery over a VMEM-resident Wb-word row set.
+def _window_decode_factory(intervals, aux):
+    """Kernel-side window decoder for a :func:`decode_dispatch` pair.
 
-    Returns ``decode_at(off) -> (sym u32, ln i32)`` where ``off`` is the
-    bit offset [8,128] into the rows; ``ln == 0`` means no code matches
-    (invalid prefix — the reference coder's bits_read==0 contract).
-    Everything is select trees + interval arithmetic: no gathers.
+    Returns (tbl_np int32[T,8,128] — sublane-broadcast lookup rows passed
+    into the kernel as one VMEM input, make(rows) -> decode(w u32[8,128])
+    -> (sym u32, ln i32), min_len, max_len). ``ln == 0`` = no code matches
+    (the reference coder's bits_read==0 contract, huffman.h:46-48).
+
+    Two implementations:
+      * ``intervals`` not None — arithmetic interval compares over the
+        range-monotone structure + ONE packed rank->symbol dynamic_gather
+        (4 symbol bytes per u32, 64 of 128 lanes used).
+      * ``intervals`` None (aux = Predecessor.key) — bucket-seeded
+        branchless binary search over the sorted codeword boundaries:
+        1 root gather + 1 seed gather + ``steps`` search gathers + 1 packed
+        (sym,len) gather + a prefix match. Handles ANY prefix-free table.
     """
-    NBITS = max(1, (Wb - 1).bit_length())
-    NB = 1 << NBITS
-    perm_select = _make_perm_select(p32_flat)
-    pad0 = win + [win[-1]] * (NB - Wb)
-    pad1 = win[1:] + [win[-1]] * (NB - Wb + 1)
+    if intervals is not None:
+        p32_flat = aux
+        lens = [L for (_lo, _hi, L, _sub, _bias) in intervals]
+        mn, mx = min(lens), max(lens)
+        perm_np = np.zeros(256, np.int32)
+        for mi, word in enumerate(p32_flat):
+            a, wq = divmod(mi, 4)
+            for kk in range(4):
+                perm_np[a * 16 + wq * 4 + kk] = (word >> (8 * kk)) & 0xFF
+        # Four ranks' symbol bytes per u32: the whole 256-entry rank->symbol
+        # table fits one 128-wide row -> ONE lane-axis dynamic_gather on
+        # (rank >> 2) + a byte extract.
+        perm32_np = np.zeros(128, np.uint32)
+        for j in range(64):
+            perm32_np[j] = (
+                perm_np[4 * j]
+                | (perm_np[4 * j + 1] << 8)
+                | (perm_np[4 * j + 2] << 16)
+                | (perm_np[4 * j + 3] << 24)
+            )
+        tbl_np = np.broadcast_to(
+            perm32_np.view(np.int32), (1, 8, 128)
+        ).copy()
 
-    def sel_pair(widx):
-        """(words[widx], words[widx+1]) via LSB-first binary select tree."""
-        cur0, cur1 = pad0, pad1
-        for b in range(NBITS):
-            t = ((widx >> b) & 1) == 1
-            cur0 = [jnp.where(t, cur0[2 * i + 1], cur0[2 * i]) for i in range(len(cur0) // 2)]
-            cur1 = [jnp.where(t, cur1[2 * i + 1], cur1[2 * i]) for i in range(len(cur1) // 2)]
-        return cur0[0], cur1[0]
+        def make(rows):
+            perm32 = rows[0]
 
-    def decode_at(off):
-        widx = off >> 5
-        sh = (off & 31).astype(jnp.uint32)
-        w0, w1 = sel_pair(widx)
-        w = (w0 << sh) | ((w1 >> jnp.uint32(1)) >> (jnp.uint32(31) - sh))
-        rank, ln = _interval_decode(w, intervals)
-        return perm_select(rank), ln
+            def decode(w):
+                rank, ln = _interval_decode(w, intervals)
+                e = jnp.take_along_axis(perm32, rank >> 2, axis=1)
+                eu = jax.lax.bitcast_convert_type(e, jnp.uint32)
+                sh = ((rank & 3) << 3).astype(jnp.uint32)
+                return (eu >> sh) & jnp.uint32(0xFF), ln
 
-    return decode_at
+            return decode
+
+        return tbl_np, make, mn, mx
+
+    bounds, ents, cnt_less, steps, m, mn, mx = aux
+    b_np = np.asarray(bounds, np.uint64).astype(np.uint32).view(np.int32)
+    e_np = np.asarray(ents, np.uint64).astype(np.uint32)
+    c_np = np.asarray(cnt_less, np.uint64).astype(np.uint32)
+    ents_row = (e_np[0::2] | (e_np[1::2] << 16)).view(np.int32)
+    cnts_row = (c_np[0::2] | (c_np[1::2] << 16)).view(np.int32)
+    two_rows = m > 128  # skip the high bounds row (and its gathers) if unused
+    rows_np = [np.broadcast_to(b_np[:128], (8, 128))]
+    if two_rows:
+        rows_np.append(np.broadcast_to(b_np[128:], (8, 128)))
+    rows_np += [
+        np.broadcast_to(ents_row, (8, 128)),
+        np.broadcast_to(cnts_row, (8, 128)),
+    ]
+    tbl_np = np.stack(rows_np)
+
+    def make(rows):
+        if two_rows:
+            b_lo, b_hi, ents_r, cnts_r = rows
+        else:
+            b_lo, ents_r, cnts_r = rows
+            b_hi = None
+
+        def g32(row, idx):
+            return jax.lax.bitcast_convert_type(
+                jnp.take_along_axis(row, idx, axis=1), jnp.uint32
+            )
+
+        def gather_b(r):  # r int32 in [0, 256); rows hold sorted boundaries
+            if b_hi is None:
+                return g32(b_lo, jnp.minimum(r, 127))
+            v0 = g32(b_lo, r & 127)
+            v1 = g32(b_hi, r & 127)
+            return jnp.where(r >= 128, v1, v0)
+
+        def decode(w):
+            p = (w >> jnp.uint32(24)).astype(jnp.int32)
+            cw = g32(cnts_r, p >> 1)
+            c = (
+                jnp.where((p & 1) == 1, cw >> jnp.uint32(16), cw)
+                & jnp.uint32(0xFFFF)
+            ).astype(jnp.int32)
+            # r tracks the predecessor rank; a code from an EARLIER bucket
+            # can still match (short codes span many buckets), so the seed
+            # boundary b[max(c-1, 0)] participates in the final match test.
+            r = c - 1
+            bsel = gather_b(jnp.maximum(r, 0))
+            for kbit in range(steps - 1, -1, -1):
+                cand = r + (1 << kbit)
+                bc = gather_b(jnp.minimum(cand, 255))
+                take = (cand < m) & (bc <= w)
+                r = jnp.where(take, cand, r)
+                bsel = jnp.where(take, bc, bsel)
+            ri = jnp.maximum(r, 0)
+            ew = g32(ents_r, ri >> 1)
+            e = jnp.where(
+                (ri & 1) == 1, ew >> jnp.uint32(16), ew
+            ) & jnp.uint32(0xFFFF)
+            ln = (e >> jnp.uint32(8)).astype(jnp.int32)
+            sym = e & jnp.uint32(0xFF)
+            # Match iff w's top ln bits equal the predecessor codeword's
+            # (boundaries are MSB-aligned with zero low bits, so a mismatch
+            # anywhere — including w < b[0] — fails here naturally).
+            sh = (jnp.uint32(32) - ln.astype(jnp.uint32)) & jnp.uint32(31)
+            match = ((w ^ bsel) >> sh) == 0
+            ln = jnp.where(match & (ln > 0), ln, 0)
+            return sym, ln
+
+        return decode
+
+    return tbl_np, make, mn, mx
 
 
 # Staging row width (words). Wider aligned row-takes are faster on this
@@ -305,6 +374,11 @@ def _anchor_interval(K: int, mn: int, mx: int) -> int:
 def _make_pallas_call(intervals, p32_flat, K: int, Wb: int, G: int, interpret: bool):
     """Build the pallas_call for a (table-structure, K, Wb, G) combination.
 
+    ``(intervals, p32_flat)`` is a :func:`decode_dispatch` pair: the
+    range-monotone (intervals, perm) form, or (None, Predecessor.key) for
+    arbitrary prefix-free tables — the kernel machinery is identical except
+    for the window decoder (see _window_decode_factory).
+
     The staged input is NR=ceil((Wb+31)/32) aligned 32-word rows per block;
     the block's first symbol starts ``rel < 1024`` bits into them. The
     kernel barrel-rolls the rows left by ``rel >> 5`` words (5 log steps),
@@ -317,44 +391,13 @@ def _make_pallas_call(intervals, p32_flat, K: int, Wb: int, G: int, interpret: b
     K4 = K // 4
     NR = _rows_for(Wb)
     NW = NR * STAGE_RW
-    lens = [L for (_lo, _hi, L, _sub, _bias) in intervals]
-    mn, mx = min(lens), max(lens)
+    tbl_np, make_dec, mn, mx = _window_decode_factory(intervals, p32_flat)
+    T = tbl_np.shape[0]
     S = _anchor_interval(K, mn, mx)
     nsub = K // S
-    # rank -> symbol as a pair of lane-axis tpu.dynamic_gather lookups over
-    # 128-wide table rows (2x cheaper than the packed select tree,
-    # scripts/prof/prof_dynamic_gather.py; same rework as the encode
-    # kernel's pattern/length LUTs).
-    perm_np = np.zeros(256, np.int32)
-    for m, word in enumerate(p32_flat):
-        a, wq = divmod(m, 4)
-        for kk in range(4):
-            perm_np[a * 16 + wq * 4 + kk] = (word >> (8 * kk)) & 0xFF
-    # Symbols are bytes, so FOUR ranks' symbols pack per u32 and the whole
-    # 256-entry rank->symbol table fits one 128-wide row: ONE lane-axis
-    # dynamic_gather on (rank >> 2) + a byte extract, instead of the
-    # two-gather + select 256-row form (the gather is ~13 VPU cycles and
-    # dominates the lookup).
-    perm32_np = np.zeros(128, np.uint32)
-    for j in range(64):
-        perm32_np[j] = (
-            perm_np[4 * j]
-            | (perm_np[4 * j + 1] << 8)
-            | (perm_np[4 * j + 2] << 16)
-            | (perm_np[4 * j + 3] << 24)
-        )
-    perm_tbl_np = np.broadcast_to(
-        perm32_np.view(np.int32), (1, 8, 128)
-    ).copy()
 
-    def kernel(win_ref, rel_ref, nsym_ref, perm_ref, out_ref, end_ref, bad_ref):
-        perm32 = perm_ref[0]
-
-        def perm_select(rank):
-            e = jnp.take_along_axis(perm32, rank >> 2, axis=1)
-            eu = jax.lax.bitcast_convert_type(e, jnp.uint32)
-            sh = ((rank & 3) << 3).astype(jnp.uint32)
-            return (eu >> sh) & jnp.uint32(0xFF)
+    def kernel(win_ref, rel_ref, nsym_ref, tbl_ref, out_ref, end_ref, bad_ref):
+        decode_win = make_dec([tbl_ref[t] for t in range(T)])
 
         w = [win_ref[0, j] for j in range(NW)]
         rel = rel_ref[0]  # bit offset into the staged rows, [0, STAGE_RW*32)
@@ -391,8 +434,7 @@ def _make_pallas_call(intervals, p32_flat, K: int, Wb: int, G: int, interpret: b
                 p0 = [jnp.where(t, p0[2 * i + 1], p0[2 * i]) for i in range(len(p0) // 2)]
                 p1 = [jnp.where(t, p1[2 * i + 1], p1[2 * i]) for i in range(len(p1) // 2)]
             wv = (p0[0] << sh) | ((p1[0] >> jnp.uint32(1)) >> (jnp.uint32(31) - sh))
-            rank, ln = _interval_decode(wv, intervals)
-            return perm_select(rank), ln
+            return decode_win(wv)
 
         ns = nsym_ref[0]
         off = rel & 31
@@ -470,9 +512,9 @@ def _make_pallas_call(intervals, p32_flat, K: int, Wb: int, G: int, interpret: b
     )
 
     def run(win, rel, nsym):
-        # perm_tbl_np stays a host constant; materializing it per trace
+        # tbl_np stays a host constant; materializing it per trace
         # avoids caching a tracer in this lru-cached closure.
-        return call(win, rel, nsym, jnp.asarray(perm_tbl_np))
+        return call(win, rel, nsym, jnp.asarray(tbl_np))
 
     return run
 
@@ -549,11 +591,17 @@ def plan_wb(index, table: HuffmanTable) -> int:
 
 
 def supports(table: HuffmanTable, symbols_per_block: int) -> bool:
-    """Can the Pallas fast path decode this (table, index) combination?"""
+    """Can the Pallas fast path decode this (table, index) combination?
+
+    Any prefix-free table qualifies (range-monotone tables ride the
+    arithmetic interval decoder; the rest use the predecessor-search
+    decoder) — matching the reference generator's acceptance of arbitrary
+    prefix trees (generator.c:236-278). Only the block-size envelope gates.
+    """
     return (
         symbols_per_block % 4 == 0
         and 4 <= symbols_per_block <= 512
-        and structure_for(table) is not None
+        and int(table.lengths.max()) > 0
     )
 
 
@@ -569,8 +617,7 @@ def decode_indexed_pallas(
     """
     from .bitpack import words_from_bytes_np
 
-    struct = structure_for(table)
-    assert struct is not None
+    intervals, aux = decode_dispatch(table)
     raw = bytes(data) if isinstance(data, (bytes, bytearray)) else np.asarray(data, dtype=np.uint8).tobytes()
     if index.total_symbols == 0:
         return b""
@@ -592,7 +639,7 @@ def decode_indexed_pallas(
 
     out, _end, bad = _decode_pipeline(
         jnp.asarray(words_np), jnp.asarray(base), jnp.asarray(rel), jnp.asarray(nsym),
-        K, Wb, G, struct.intervals, tuple(x for row in struct.p32 for x in row),
+        K, Wb, G, intervals, aux,
         _use_interpret(),
     )
     if bool(bad):

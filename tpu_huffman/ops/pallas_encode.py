@@ -85,9 +85,12 @@ def _sub_block(K: int, min_len: int, max_len: int) -> int:
     symbols from one anchor costs O(K^2*(max_len-min_len)/32) selects per
     block. Re-anchoring every S symbols (pack locally from bit 0, then
     funnel+barrel-merge the S-symbol window into the block buffer) bounds
-    the window by S. S=64 measured fastest at K=256 on the static table
-    (scripts/prof/prof_true_pack_sub.py). Must divide K; fixed-length
-    tables (min==max) keep windows width-2 regardless, so skip."""
+    the window at ~S*(max_len-min_len)/32 words, so the best S shrinks
+    with the table's length SPREAD: S=64 measured fastest on the static
+    table (spread 5, prof_true_pack_sub.py) but S=16 on the 5-30-bit
+    table (spread 25 — prof_true_deep_s.py: 1625 us @S=8, **1094 @16**,
+    1215 @32, 1239 @64 per 8 MiB). Target ~10 window words. Must divide
+    K; fixed-length tables (min==max) keep windows width-2 regardless."""
     if K <= 64:
         return K
     if min_len == max_len:
@@ -96,6 +99,10 @@ def _sub_block(K: int, min_len: int, max_len: int) -> int:
         # side output (offset_granularity): cap it so the decode index
         # (256 symbols) stays derivable at large K.
         return min(K, 256)
+    target = max(8, min(64, 320 // max(1, max_len - min_len)))
+    for s in (64, 32, 16, 8):
+        if s <= target and K % s == 0:
+            return s
     for s in (64, 32, 28, 20, 16, 12, 8, 4):
         if K % s == 0:
             return s

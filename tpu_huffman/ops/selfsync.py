@@ -40,7 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..errors import UnknownSymbolError
 from ..tables import HuffmanTable
 from .bitpack import words_from_bytes_np
-from .pallas_decode import LANES, _use_interpret, structure_for
+from .pallas_decode import LANES, _use_interpret
 
 SEG_WORDS = 32                  # 1024 bits per segment
 SEG_BITS = SEG_WORDS * 32
@@ -50,38 +50,20 @@ SEG_SLACK = 2                   # neighbor words so straddling codes resolve
 @functools.lru_cache(maxsize=32)
 def _make_selfsync_call(intervals, p32_flat, max_syms: int, G: int, interpret: bool,
                         seg_words: int = SEG_WORDS):
+    """(intervals, p32_flat) is a pallas_decode.decode_dispatch pair — the
+    range-monotone interval form or (None, Predecessor.key) for arbitrary
+    prefix-free tables (same machinery as the indexed kernel)."""
+    from .pallas_decode import _window_decode_factory
+
     Wb = seg_words + SEG_SLACK
     K4 = -(-max_syms // 4)
-    lens = [L for (_lo, _hi, L, _sub, _bias) in intervals]
-    mx = max(lens)
+    tbl_np, make_dec, _mn, mx = _window_decode_factory(intervals, p32_flat)
+    T = tbl_np.shape[0]
     A = 16  # self-re-anchor interval (symbols), same trick as pallas_decode
 
-    perm_np = np.zeros(256, np.int32)
-    for m, word in enumerate(p32_flat):
-        aq, wq = divmod(m, 4)
-        for kk in range(4):
-            perm_np[aq * 16 + wq * 4 + kk] = (word >> (8 * kk)) & 0xFF
-    perm_tbl_np = np.stack(
-        [
-            np.broadcast_to(perm_np[:128], (8, 128)),
-            np.broadcast_to(perm_np[128:], (8, 128)),
-        ]
-    )
-
-    def kernel(win_ref, entry_ref, perm_ref, out_ref, exit_ref, bad_ref):
-        from .pallas_decode import _interval_decode
-
+    def kernel(win_ref, entry_ref, tbl_ref, out_ref, exit_ref, bad_ref):
         zero = jnp.zeros((8, 128), jnp.uint32)
-        perm_lo = perm_ref[0]
-        perm_hi = perm_ref[1]
-
-        def perm_select(rank):
-            idx = rank & 127
-            return jnp.where(
-                rank >= 128,
-                jnp.take_along_axis(perm_hi, idx, axis=1),
-                jnp.take_along_axis(perm_lo, idx, axis=1),
-            ).astype(jnp.uint32)
+        decode_win = make_dec([tbl_ref[t] for t in range(T)])
 
         def decode_bounded(wl, off, lo, hi):
             widx = off >> 5
@@ -96,8 +78,7 @@ def _make_selfsync_call(intervals, p32_flat, max_syms: int, G: int, interpret: b
                 p0 = [jnp.where(t, p0[2 * i + 1], p0[2 * i]) for i in range(len(p0) // 2)]
                 p1 = [jnp.where(t, p1[2 * i + 1], p1[2 * i]) for i in range(len(p1) // 2)]
             wv = (p0[0] << sh) | ((p1[0] >> jnp.uint32(1)) >> (jnp.uint32(31) - sh))
-            rank, ln = _interval_decode(wv, intervals)
-            return perm_select(rank), ln
+            return decode_win(wv)
 
         w = [win_ref[0, j] for j in range(Wb)] + [zero, zero]
         off0 = entry_ref[0]
@@ -176,9 +157,9 @@ def _make_selfsync_call(intervals, p32_flat, max_syms: int, G: int, interpret: b
     )
 
     def run(win, entries):
-        # perm_tbl_np stays a host constant; materializing it per trace
+        # tbl_np stays a host constant; materializing it per trace
         # avoids caching a tracer in this lru-cached closure.
-        return call(win, entries, jnp.asarray(perm_tbl_np))
+        return call(win, entries, jnp.asarray(tbl_np))
 
     return run
 
@@ -241,16 +222,22 @@ def _selfsync_passes(win, S, G, max_syms, passes, intervals, p32_flat, interpret
     return out, exits, bad, converged, entries
 
 
-def _decode_tail_host(table, stream_bits_value, nbits):
+def _decode_tail_host(table, stream_bits_value, nbits, max_syms=None):
     """Decode the final partial segment with exact reference termination.
 
     stream_bits_value: int holding the remaining bits MSB-first; nbits: its
     length. Mirrors source/huffman.c:230-281 for the tail of a one-shot call.
-    Returns (symbols bytearray) or raises UnknownSymbolError.
+    ``max_syms`` stops after that many symbols WITHOUT inspecting the next
+    window (the reference's output-full check runs before consuming,
+    huffman.c:257-268 — but note UNKNOWN/padding checks come first, which
+    :func:`_next_state` evaluates for the capped caller).
+    Returns (symbols bytearray, pos) or raises UnknownSymbolError.
     """
     out = bytearray()
     pos = 0
     while True:
+        if max_syms is not None and len(out) >= max_syms:
+            return out, pos
         left = nbits - pos
         if left <= 0:
             return out, pos
@@ -270,8 +257,27 @@ def _decode_tail_host(table, stream_bits_value, nbits):
         pos += bits_read
 
 
+def _next_state(table, stream_bits_value, nbits, pos) -> str:
+    """Reference check order at one window (source/huffman.c:240-255):
+    'unknown' (no match, >= 32 bits left), 'done' (no match with < 32 left,
+    input exhausted, or code overruns the remaining bits = trailing
+    padding), or 'more' (a further symbol is decodable)."""
+    left = nbits - pos
+    if left <= 0:
+        return "done"
+    frag = stream_bits_value & ((1 << left) - 1)
+    window = (frag >> (left - 32)) if left >= 32 else (frag << (32 - left)) & 0xFFFFFFFF
+    _sym, bits_read = table.decode_window(window)
+    if bits_read == 0:
+        return "unknown" if left >= 32 else "done"
+    return "more" if bits_read <= left else "done"
+
+
 def supports(table: HuffmanTable) -> bool:
-    return structure_for(table) is not None and table.max_len <= SEG_SLACK * 32
+    """Any prefix-free table qualifies (monotone tables use the interval
+    decoder, the rest the predecessor-search decoder); codes must fit the
+    segment slack window (always true: MAX_CODE_BITS=32 <= 64)."""
+    return int(table.lengths.max()) > 0 and table.max_len <= SEG_SLACK * 32
 
 
 def selfsync_decode(data: bytes | np.ndarray, table: HuffmanTable,
@@ -298,25 +304,60 @@ def selfsync_decode_ex(
     fixpoint passes if self-synchronization is slow; worst case degrades to
     S passes (pathological streams), still correct.
     """
-    struct = structure_for(table)
-    assert struct is not None
-    assert 0 <= start_bit < 8
     raw = bytes(data) if isinstance(data, (bytes, bytearray)) else np.asarray(
         data, dtype=np.uint8
     ).tobytes()
-    if not raw or len(raw) * 8 <= start_bit:
-        return b"", start_bit
-    seg_bits = seg_words * 32
-    total_bits = len(raw) * 8
-
-    def host_all():
+    seg = _selfsync_segments(raw, table, seg_words, start_bit)
+    if seg is None:  # small stream (or non-convergence): pure host loop
+        total_bits = len(raw) * 8
+        if not raw or total_bits <= start_bit:
+            return b"", start_bit
         value = int.from_bytes(raw, "big") & ((1 << (total_bits - start_bit)) - 1)
         out, pos = _decode_tail_host(table, value, total_bits - start_bit)
         return bytes(out), start_bit + pos
 
+    syms, starts, counts, bad_np, S, seg_bits, tail_start_bit = seg
+    # Unknown symbol on the converged chain? Reference raises only with
+    # >= 32 bits left (huffman.c:246); all these segments are mid-stream.
+    if (bad_np != 0).any():
+        raise UnknownSymbolError()
+
+    mask = np.arange(syms.shape[1])[None, :] < counts[:, None]
+    body = syms[mask]
+
+    # Tail: everything from the last full segment's exit onward.
+    total_bits = len(raw) * 8
+    value = int.from_bytes(raw, "big")
+    left = total_bits - tail_start_bit
+    tail_value = value & ((1 << left) - 1)
+    tail, pos = _decode_tail_host(table, tail_value, left)
+    return body.tobytes() + bytes(tail), tail_start_bit + pos
+
+
+def _selfsync_segments(raw: bytes, table: HuffmanTable, seg_words: int,
+                       start_bit: int):
+    """Run the fixpoint kernel over the stream's full segments.
+
+    Returns None when the stream is too small for the kernel path (caller
+    should host-loop), else (syms u8[S, max_syms], starts i64[S, max_syms]
+    — SEGMENT-RELATIVE bit start of each emitted symbol, counts i32[S],
+    bad i32[S] (0 = clean, else 1 + segment-relative bit of the first
+    invalid window; symbols of that segment are valid only before that
+    bit), S, seg_bits, tail_start_bit — absolute resume point for the host
+    tail decode).
+    """
+    from .pallas_decode import decode_dispatch
+
+    intervals, aux = decode_dispatch(table)
+    assert 0 <= start_bit < 8
+    if not raw or len(raw) * 8 <= start_bit:
+        return None
+    seg_bits = seg_words * 32
+    total_bits = len(raw) * 8
+
     # Small streams: the host bit loop is cheaper than a kernel launch.
     if total_bits <= 4 * seg_bits:
-        return host_all()
+        return None
 
     words_np, _ = words_from_bytes_np(raw)
     # Full segments exclude the stream tail: the last (possibly partial)
@@ -326,7 +367,7 @@ def selfsync_decode_ex(
     S = S_total - 1 if total_bits % seg_bits else S_total
     S -= 1  # guard segment before the tail
     if S <= 0:
-        return host_all()
+        return None
 
     # Bucket the grid to powers of two (floor 16 on hardware) so chunked
     # callers with varying stream sizes reuse one compiled pipeline per
@@ -348,7 +389,6 @@ def selfsync_decode_ex(
     win = np.ascontiguousarray(strided).reshape(G, 8, 128, Wb).transpose(0, 3, 1, 2)
     win = np.ascontiguousarray(win)
 
-    p32_flat = tuple(x for row in struct.p32 for x in row)
     min_len = max(int(table.min_len), 1)
     max_syms = (seg_bits + table.max_len) // min_len + 1
     max_syms = -(-max_syms // 4) * 4
@@ -357,19 +397,15 @@ def selfsync_decode_ex(
     # The while_loop inside stops as soon as entries converge (usually 2-3
     # passes); Bp+1 is the worst-case bound (degenerates to sequential).
     out, exits, bad, converged, entries = _selfsync_passes(
-        jwin, S, G, max_syms, Bp + 1, struct.intervals, p32_flat, interp,
+        jwin, S, G, max_syms, Bp + 1, intervals, aux, interp,
         seg_words, start_bit,
     )
     if not bool(converged):  # can't happen within S+1 passes, but be safe
-        return host_all()
+        return None
 
     entries_np = np.asarray(entries)[:S]
     exits_np = np.asarray(exits)[:S]
     bad_np = np.asarray(bad)[:S]
-    # Unknown symbol on the converged chain? Reference raises only with
-    # >= 32 bits left (huffman.c:246); all these segments are mid-stream.
-    if (bad_np != 0).any():
-        raise UnknownSymbolError()
 
     K4 = -(-max_syms // 4)
     syms = (
@@ -379,25 +415,126 @@ def selfsync_decode_ex(
         .view(np.uint8)
         .reshape(Bp, 4 * K4)[:S]
     )
-    # Symbol counts: codes starting in [entry, SEG_BITS) — count = number of
-    # active steps. Derive from lengths: we know entry and exit, and each
-    # emitted symbol advanced by its code length; count isn't directly
-    # stored, so reconstruct by decoding lengths? No: active steps emitted
-    # exactly the symbols whose start < SEG_BITS. Count = index of first
-    # inactive step = number of symbols with cumulative offset < SEG_BITS.
-    # We recover it by re-walking lengths on host — cheap alternative:
-    # count the symbols via the lengths table.
+    # Per-symbol bit starts: entry + exclusive cumsum of code lengths. The
+    # active steps emitted exactly the symbols whose start < SEG_BITS, so
+    # the count per segment is one comparison-reduction away. (For a
+    # poisoned segment this is valid only before the bad bit — the capped
+    # caller accounts for that; selfsync_decode_ex raises first.)
     lens_of = table.lengths[syms]  # [S, max_syms] code length per emitted sym
-    starts = np.cumsum(lens_of, axis=1) - lens_of + entries_np[:, None]
-    counts = (starts < seg_bits).sum(axis=1)
+    starts = (
+        np.cumsum(lens_of, axis=1, dtype=np.int64)
+        - lens_of
+        + entries_np[:, None]
+    )
+    counts = (starts < seg_bits).sum(axis=1).astype(np.int64)
 
-    mask = np.arange(syms.shape[1])[None, :] < counts[:, None]
-    body = syms[mask]
-
-    # Tail: everything from the last full segment's exit onward.
     tail_start_bit = S * seg_bits + int(exits_np[-1]) - seg_bits
-    value = int.from_bytes(raw, "big")
-    left = total_bits - tail_start_bit
-    tail_value = value & ((1 << left) - 1)
-    tail, pos = _decode_tail_host(table, tail_value, left)
-    return body.tobytes() + bytes(tail), tail_start_bit + pos
+    return syms, starts, counts, bad_np, S, seg_bits, tail_start_bit
+
+
+def selfsync_decode_capped(
+    data: bytes | np.ndarray,
+    table: HuffmanTable,
+    capacity: int,
+    seg_words: int = SEG_WORDS,
+    start_bit: int = 0,
+) -> tuple[bytes, int, bool]:
+    """Decode at most ``capacity`` symbols at device speed.
+
+    Returns (symbols, end_bit, more): ``end_bit`` is the absolute bit
+    offset after the last emitted symbol (the resume point); ``more`` is
+    True iff at least one further symbol is decodable — the caller maps it
+    to the SHORT_BUFFER protocol (reference: the output-full check runs
+    before consuming, source/huffman.c:257-268, so a capped call is
+    restartable). Reference check order is preserved: an invalid window
+    (>= 32 bits left) that would be REACHED within the first ``capacity``
+    symbols — or sits exactly at the cap boundary — raises
+    UnknownSymbolError (source/huffman.c:240-246 run before the
+    output-full check); one past it does not.
+
+    Only a prefix of the input covering ``capacity + 1`` symbols is ever
+    decoded, so a small-capacity call over a huge retained stream stays
+    O(capacity), not O(stream).
+    """
+    assert capacity >= 0 and 0 <= start_bit < 8
+    raw = bytes(data) if isinstance(data, (bytes, bytearray)) else np.asarray(
+        data, dtype=np.uint8
+    ).tobytes()
+    total_bits = len(raw) * 8
+    value_cache: dict[int, int] = {}
+
+    def bits_value(upto_bytes: int) -> int:
+        if upto_bytes not in value_cache:
+            value_cache[upto_bytes] = int.from_bytes(raw[:upto_bytes], "big")
+        return value_cache[upto_bytes]
+
+    def host_capped(from_bit: int, budget: int, prefix_bytes: int):
+        """Host loop from ``from_bit`` for ``budget`` symbols over the
+        prefix; returns (syms, end_bit, more) with reference check order."""
+        nbits = prefix_bytes * 8 - from_bit
+        value = bits_value(prefix_bytes) & ((1 << nbits) - 1) if nbits else 0
+        out, pos = _decode_tail_host(table, value, nbits, max_syms=budget)
+        state = _next_state(table, value, nbits, pos)
+        if state == "unknown":
+            raise UnknownSymbolError()
+        return bytes(out), from_bit + pos, state == "more"
+
+    # Input prefix guaranteed to contain capacity+1 decodable symbols (or
+    # the whole stream): (cap+1)*max_len bits + a 32-bit lookahead window.
+    need_bits = start_bit + (capacity + 1) * int(table.max_len) + 64
+    prefix_bytes = min(len(raw), -(-need_bits // 8))
+    full = prefix_bytes == len(raw)
+    # Tail truncation caveat: a symbol whose code straddles the prefix end
+    # is excluded by the host/tail termination rules, but the prefix bound
+    # above guarantees capacity+1 FULL symbols fit unless the real stream
+    # ends first — so the cap cut is never affected by truncation.
+    prefix = raw[:prefix_bytes]
+
+    seg = _selfsync_segments(prefix, table, seg_words, start_bit)
+    if seg is None:
+        out, end, more = host_capped(start_bit, capacity, prefix_bytes)
+        if not more and not full:
+            # Decoded fewer than capacity symbols without reaching the real
+            # stream end — only possible when the prefix bound was not the
+            # binding constraint (shouldn't happen); fall back to the full
+            # stream for a correct answer.
+            return host_capped(start_bit, capacity, len(raw))
+        return out, end, more
+
+    syms, starts, counts, bad_np, S, seg_bits, tail_start_bit = seg
+    cum = np.cumsum(counts)
+    total_body = int(cum[-1]) if S else 0
+
+    # First invalid window on the converged chain (absolute bit), if any.
+    bad_segs = np.flatnonzero(bad_np != 0)
+    if bad_segs.size:
+        s_b = int(bad_segs[0])
+        bad_rel = int(bad_np[s_b]) - 1
+        before_bad = int(cum[s_b - 1]) if s_b else 0
+        before_bad += int((starts[s_b] < bad_rel).sum())
+        if capacity >= before_bad:
+            # The invalid window is reached within (or exactly at) the cap:
+            # reference checks UNKNOWN before output-full (huffman.c:240-246
+            # precede :257) -> raise.
+            raise UnknownSymbolError()
+
+    if total_body > capacity:
+        # Cap cut lands inside the kernel-decoded body.
+        s_c = int(np.searchsorted(cum, capacity, side="right"))
+        within = capacity - (int(cum[s_c - 1]) if s_c else 0)
+        end_bit = s_c * seg_bits + int(starts[s_c, within])
+        mask = np.arange(syms.shape[1])[None, :] < counts[:s_c, None]
+        out = syms[:s_c][mask].tobytes() + syms[s_c, :within].tobytes()
+        return out, end_bit, True
+
+    # Body fits; finish in the tail with the remaining budget.
+    mask = np.arange(syms.shape[1])[None, :] < counts[:, None]
+    body = syms[mask].tobytes()
+    budget = capacity - total_body
+    tail, end, more = host_capped(tail_start_bit, budget, prefix_bytes)
+    if not more and not full:
+        # Prefix exhausted below capacity without the real stream ending:
+        # cannot happen given the prefix bound; decode the remainder against
+        # the full stream to stay correct regardless.
+        tail, end, more = host_capped(tail_start_bit, budget, len(raw))
+    return body + tail, end, more

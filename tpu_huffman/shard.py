@@ -53,14 +53,16 @@ def _flat_axes(mesh: Mesh) -> tuple[str, ...]:
 # --------------------------------------------------------------- encode ----
 
 
-def _shard_encode_body(symbols, n_valid, patterns, lengths, axes):
+def _shard_encode_body(symbols, n_valid, patterns, lengths, axes,
+                       offs_every: int = 0):
     """Per-shard bit packing; runs under shard_map.
 
     symbols: uint8[local_n] this shard's symbols
     n_valid: int32[1]       valid symbols in this shard
     Returns (words uint32[local_n+2] local bit-packed stream aligned to the
     shard's *global* intra-word phase, bit_total int32[1], word_base int32[1],
-    bad int32[1], global_total int32[1]).
+    bad int32[1], global_total int32[1][, global bit offsets of every
+    offs_every-th symbol — device-side, O(local), no host cumsum]).
     """
     n = symbols.shape[0]
     nv = n_valid[0]
@@ -103,25 +105,40 @@ def _shard_encode_body(symbols, n_valid, patterns, lengths, axes):
     words = jnp.zeros(n + 2, dtype=jnp.uint32)
     words = words.at[widx].add(hi, mode="drop", indices_are_sorted=True)
     words = words.at[widx + 1].add(lo, mode="drop", indices_are_sorted=True)
-    return (
+    outs = (
         words,
         local_bits[None],
         word_base[None],
         bad.astype(jnp.int32)[None],
         global_total[None],
     )
+    if offs_every:
+        offs_blk = (ends - lens)[::offs_every][: n // offs_every] + offset
+        outs = outs + (offs_blk,)
+    return outs
 
 
 def _shard_encode_body_pallas(symbols, n_valid, *, K, G, Wb, num_out_words,
-                              p32t, lent, min_len, max_len, interpret, axes):
+                              p32t, lent, min_len, max_len, interpret, axes,
+                              offs_every: int = 0):
     """Per-shard Pallas pack + funnel to the global phase; under shard_map.
 
     Same contract as _shard_encode_body but the local pack is the
     single-chip Pallas pipeline (ops/pallas_encode.py) instead of the
     elementwise gather+cumsum+scatter kernel — the mesh layer is just the
     one all_gather of shard bit totals plus an elementwise funnel shift.
+
+    ``offs_every`` > 0 additionally returns the GLOBAL bit offset of every
+    ``offs_every``-th symbol of this shard (must be a multiple of the pack
+    pipeline's sub-block granularity) — the BlockIndex comes free from the
+    pipeline's own prefix sums instead of a host O(N) cumsum
+    (VERDICT r1 item 5).
     """
-    from .ops.pallas_encode import LANES as PACK_LANES, _encode_pipeline
+    from .ops.pallas_encode import (
+        LANES as PACK_LANES,
+        _encode_pipeline,
+        _sub_block,
+    )
 
     n = symbols.shape[0]
     nv = n_valid[0]
@@ -135,7 +152,7 @@ def _shard_encode_body_pallas(symbols, n_valid, *, K, G, Wb, num_out_words,
     ).reshape(-1)
     # eos_padding=0: shard streams must NOT pad (only the global stream
     # end gets eos bits, applied by the caller); a zero pad ORs nothing.
-    words0, local_bits, _padded_bits, bad, _offs = _encode_pipeline(
+    words0, local_bits, _padded_bits, bad, offs_sub = _encode_pipeline(
         syms_u32, nsym, jnp.uint32(0), K, G, Wb, num_out_words,
         p32t, lent, min_len, max_len, interpret,
     )
@@ -157,13 +174,19 @@ def _shard_encode_body_pallas(symbols, n_valid, *, K, G, Wb, num_out_words,
     ext = jnp.concatenate([words0, jnp.zeros(1, jnp.uint32)])
     prev = jnp.concatenate([jnp.zeros(1, jnp.uint32), words0])
     words = (ext >> phase) | ((prev << (jnp.uint32(31) - phase)) << jnp.uint32(1))
-    return (
+    outs = (
         words,
         local_bits[None],
         word_base[None],
         bad.astype(jnp.int32)[None],
         global_total[None],
     )
+    if offs_every:
+        S = _sub_block(K, min_len, max_len)
+        assert offs_every % S == 0
+        offs_blk = offs_sub[:: offs_every // S][: n // offs_every] + offset
+        outs = outs + (offs_blk,)
+    return outs
 
 
 @functools.partial(jax.jit, static_argnames=("num_out_words",))
@@ -204,25 +227,17 @@ class MeshCodec:
         self._pallas_encode_ok = (
             _pe.supports(self.table) and not _pe._use_interpret()
         )
+        # Can the BlockIndex ride the encode pipeline's free offsets?
+        # (Pallas path: block_symbols must align with the pack sub-blocks;
+        # the XLA body samples its own cumsum, any granularity works.)
+        self._offsets_ok = (
+            not self._pallas_encode_ok
+            or self.block_symbols % _pe.offset_granularity(self.table) == 0
+        )
         self._penc_cache = {}
         self._pdec_cache = {}
         axes = _flat_axes(self.mesh)
         spec_in = P(axes[0] if len(axes) == 1 else axes)
-        self._encode_sharded = jax.jit(
-            jax.shard_map(
-                functools.partial(
-                    _shard_encode_body,
-                    patterns=self._dt.patterns,
-                    lengths=self._dt.lengths,
-                    axes=axes,
-                ),
-                mesh=self.mesh,
-                in_specs=(spec_in, spec_in),
-                out_specs=(spec_in, spec_in, spec_in, spec_in, spec_in),
-                check_vma=False,
-            ),
-            static_argnames=(),
-        )
         self._decode_sharded = jax.jit(
             jax.shard_map(
                 functools.partial(
@@ -243,29 +258,47 @@ class MeshCodec:
 
     # ---- encode ----
 
-    def _pallas_encode_sharded(self, per_dev: int):
-        """shard_map'd Pallas pack pipeline for a fixed per-shard size."""
-        if per_dev in self._penc_cache:
-            return self._penc_cache[per_dev]
+    def _encode_sharded_fn(self, per_dev: int, with_offsets: bool):
+        """shard_map'd per-shard encode for a fixed shard size.
+
+        Pallas pack pipeline on TPU, XLA gather+cumsum+scatter elsewhere;
+        with_offsets adds a 6th output: global bit offsets of every
+        block_symbols-th symbol, device-computed (no host cumsum).
+        """
+        key = (per_dev, with_offsets)
+        if key in self._penc_cache:
+            return self._penc_cache[key]
         from .ops import pallas_encode as pe
 
         axes = _flat_axes(self.mesh)
         spec = P(axes[0] if len(axes) == 1 else axes)
-        K = pe.pack_k(self.table)
-        p32t, lent, mn, mx, Wb, G, now = pe._plan(self.table, per_dev, K)
-        body = functools.partial(
-            _shard_encode_body_pallas,
-            K=K, G=G, Wb=Wb, num_out_words=now,
-            p32t=p32t, lent=lent, min_len=mn, max_len=mx,
-            interpret=pe._use_interpret(), axes=axes,
-        )
+        offs_every = self.block_symbols if with_offsets else 0
+        if self._pallas_encode_ok:
+            K = pe.pack_k(self.table)
+            p32t, lent, mn, mx, Wb, G, now = pe._plan(self.table, per_dev, K)
+            body = functools.partial(
+                _shard_encode_body_pallas,
+                K=K, G=G, Wb=Wb, num_out_words=now,
+                p32t=p32t, lent=lent, min_len=mn, max_len=mx,
+                interpret=pe._use_interpret(), axes=axes,
+                offs_every=offs_every,
+            )
+        else:
+            body = functools.partial(
+                _shard_encode_body,
+                patterns=self._dt.patterns,
+                lengths=self._dt.lengths,
+                axes=axes,
+                offs_every=offs_every,
+            )
+        nouts = 6 if with_offsets else 5
         fn = jax.jit(
             jax.shard_map(
                 body, mesh=self.mesh, in_specs=(spec, spec),
-                out_specs=(spec,) * 5, check_vma=False,
+                out_specs=(spec,) * nouts, check_vma=False,
             )
         )
-        self._penc_cache[per_dev] = fn
+        self._penc_cache[key] = fn
         return fn
 
     def encode(self, data: bytes | np.ndarray, with_index: bool = True):
@@ -295,14 +328,11 @@ class MeshCodec:
             np.maximum(n - per_dev * np.arange(ndev, dtype=np.int64), 0), per_dev
         ).astype(np.int32)
 
-        enc_fn = (
-            self._pallas_encode_sharded(per_dev)
-            if self._pallas_encode_ok
-            else self._encode_sharded
-        )
-        words, local_bits, word_bases, bad, global_total = enc_fn(
+        use_offs = with_index and self._offsets_ok
+        outs = self._encode_sharded_fn(per_dev, use_offs)(
             jnp.asarray(padded), jnp.asarray(n_valid)
         )
+        words, local_bits, word_bases, bad, global_total = outs[:5]
         if bool(jnp.any(bad > 0)):
             lens = self.table.lengths[symbols]
             idx = int(np.flatnonzero(lens == 0)[0])
@@ -324,14 +354,18 @@ class MeshCodec:
         if not with_index:
             return bytes(out), None
 
-        # Block index: recompute block offsets from per-shard prefix sums on
-        # host (cheap: one cumsum over code lengths per block boundary).
-        lens64 = self.table.lengths[symbols].astype(np.int64)
-        ends = np.cumsum(lens64)
         n_blocks = -(-n // self.block_symbols)
-        starts_idx = np.arange(n_blocks) * self.block_symbols
-        offsets = np.zeros(n_blocks, dtype=np.int64)
-        offsets[1:] = ends[starts_idx[1:] - 1]
+        if use_offs:
+            # Block offsets straight from the encode pipeline's own prefix
+            # sums (free side output) — host work O(blocks), not O(N).
+            offsets = np.asarray(outs[5]).reshape(-1)[:n_blocks].astype(np.int64)
+        else:
+            # Fallback (misaligned block_symbols): host cumsum over lengths.
+            lens64 = self.table.lengths[symbols].astype(np.int64)
+            ends = np.cumsum(lens64)
+            starts_idx = np.arange(n_blocks) * self.block_symbols
+            offsets = np.zeros(n_blocks, dtype=np.int64)
+            offsets[1:] = ends[starts_idx[1:] - 1]
         n_sym = np.full(n_blocks, self.block_symbols, dtype=np.int32)
         n_sym[-1] = n - (n_blocks - 1) * self.block_symbols
         index = BlockIndex(
@@ -339,6 +373,148 @@ class MeshCodec:
             bit_offsets=offsets.astype(np.int32),
             n_symbols=n_sym,
             total_symbols=n,
+            total_bits=total_bits,
+        )
+        return bytes(out), index
+
+    # ---- multi-host collective encode ----
+
+    def encode_sharded(self, local_data: bytes | np.ndarray,
+                       with_index: bool = True):
+        """Collective encode where each process contributes only ITS bytes.
+
+        All processes must call this together; every process returns the
+        same (encoded_bytes, BlockIndex) — bit-identical to the
+        single-stream encoding of the processes' bytes concatenated in
+        process order (the reference's chunked == one-shot contract,
+        huffman_testing.c:75-173). No host ever materializes the full
+        input: each process feeds its local shard via
+        jax.make_array_from_process_local_data; the only host-side global
+        arrays are the (compressed-size) output words, the per-shard bit
+        totals and the O(blocks) offset index. Shard lengths may differ
+        across processes (interior padding is masked out of the stream by
+        per-block valid counts; padding blocks appear in the index with
+        n_symbols == 0).
+
+        Requires ``self.mesh`` to enumerate devices in process order
+        (e.g. distributed.global_data_mesh / dcn_ici_mesh).
+        """
+        local = (
+            np.frombuffer(bytes(local_data), dtype=np.uint8)
+            if isinstance(local_data, (bytes, bytearray))
+            else np.asarray(local_data, dtype=np.uint8)
+        )
+        nproc = jax.process_count()
+        if nproc == 1:
+            return self.encode(local.tobytes(), with_index=with_index)
+        from jax.experimental import multihost_utils
+
+        ld = jax.local_device_count()
+        bs = self.block_symbols
+        axes = _flat_axes(self.mesh)
+        spec = P(axes[0] if len(axes) == 1 else axes)
+        sh1 = NamedSharding(self.mesh, spec)
+
+        lens = np.asarray(
+            multihost_utils.process_allgather(
+                np.array([local.size], np.int64)
+            )
+        ).reshape(-1)
+        per_dev = max(bs, -(-int(lens.max()) // ld))
+        per_dev = -(-per_dev // bs) * bs
+        slab = np.zeros(ld * per_dev, np.uint8)
+        slab[: local.size] = local
+        nv_local = np.clip(
+            local.size - per_dev * np.arange(ld, dtype=np.int64), 0, per_dev
+        ).astype(np.int32)
+        ndev = nproc * ld
+        arr = jax.make_array_from_process_local_data(
+            sh1, slab, (ndev * per_dev,)
+        )
+        nv = jax.make_array_from_process_local_data(sh1, nv_local, (ndev,))
+
+        if with_index and not self._offsets_ok:
+            from .ops import pallas_encode as pe
+
+            raise ValueError(
+                "encode_sharded needs block_symbols aligned to the pack "
+                f"pipeline's offset granularity "
+                f"({pe.offset_granularity(self.table)}) so the index can "
+                "come from device-side prefix sums (no host O(N) work)"
+            )
+        use_offs = with_index
+        outs = self._encode_sharded_fn(per_dev, use_offs)(arr, nv)
+        words, local_bits, _word_bases, bad, _gt = outs[:5]
+
+        def gather(garr) -> np.ndarray:
+            """Global sharded array -> full np array on every process, via
+            allgather of each process's addressable rows (process order ==
+            device order by the mesh requirement above)."""
+            shards = sorted(garr.addressable_shards, key=lambda s: s.index)
+            local_np = np.concatenate([np.asarray(s.data) for s in shards])
+            return np.asarray(
+                multihost_utils.process_allgather(local_np, tiled=True)
+            )
+
+        bad_np = gather(bad)  # small [ndev]
+        if (bad_np > 0).any():
+            # Report the first local offender if this process has one (each
+            # process scans only its OWN bytes).
+            bad_l = np.flatnonzero(self.table.lengths[local] == 0)
+            if bad_l.size:
+                i = int(bad_l[0])
+                raise UnknownSymbolError(index=i, symbol=int(local[i]))
+            raise UnknownSymbolError()
+        totals = gather(local_bits).astype(np.int64).reshape(-1)
+        offsets_dev = np.cumsum(totals) - totals
+        total_bits = int(totals.sum())
+
+        # Output assembly: gather only the words each shard actually used
+        # (~compressed size), then OR them in at their word bases on host.
+        Wshard = words.shape[0] // ndev
+        wmax = int(
+            min(Wshard, (int(totals.max()) + 31) // 32 + 2)
+        )
+        w2d = words.reshape(ndev, Wshard)[:, :wmax]
+        words_np = gather(w2d).reshape(ndev, wmax)
+        out_words = np.zeros(total_bits // 32 + 2, np.uint32)
+        for s in range(ndev):
+            if totals[s] == 0:
+                continue
+            base = int(offsets_dev[s]) >> 5
+            nw = min(wmax, out_words.size - base)
+            out_words[base : base + nw] |= words_np[s, :nw]
+        out = bytearray(bytes_from_words_np(out_words, (total_bits + 7) // 8))
+        tail = total_bits & 7
+        if tail:
+            out[-1] |= self.eos_padding & ((1 << (8 - tail)) - 1)
+
+        n_total = int(lens.sum())
+        if not with_index:
+            return bytes(out), None
+
+        # Index over the padded global positions: per-device block counts
+        # from the gathered lengths; offsets from the pipeline (or the
+        # device-side cumsum fallback at foreign granularities).
+        blocks_per_dev = per_dev // bs
+        n_blocks = ndev * blocks_per_dev
+        counts_dev = np.clip(
+            np.repeat(lens, ld)
+            - per_dev * np.tile(np.arange(ld, dtype=np.int64), nproc),
+            0,
+            per_dev,
+        )
+        n_sym = np.clip(
+            counts_dev[:, None] - bs * np.arange(blocks_per_dev)[None, :],
+            0,
+            bs,
+        ).astype(np.int32).reshape(-1)
+        offsets = gather(outs[5]).astype(np.int64).reshape(-1)[:n_blocks]
+        index = BlockIndex(
+            symbols_per_block=bs,
+            bit_offsets=offsets.astype(np.int32),
+            n_symbols=n_sym,
+            total_symbols=n_total,
             total_bits=total_bits,
         )
         return bytes(out), index
@@ -351,14 +527,14 @@ class MeshCodec:
             return self._pdec_cache[key]
         from .ops import pallas_decode as pd
 
-        struct = pd.structure_for(self.table)
+        intervals, aux = pd.decode_dispatch(self.table)
         axes = _flat_axes(self.mesh)
         spec = P(axes[0] if len(axes) == 1 else axes)
         body = functools.partial(
             _shard_decode_body_pallas,
             K=K, Wb=Wb, G=G,
-            intervals=struct.intervals,
-            p32_flat=tuple(x for row in struct.p32 for x in row),
+            intervals=intervals,
+            p32_flat=aux,
             interpret=pd._use_interpret(),
         )
         fn = jax.jit(

@@ -270,19 +270,31 @@ class HuffmanDecoder:
         if total_bits - start_bit <= 0:
             return DecodeResult(b"", True)
 
-        # Bulk fast path: unbounded-capacity chunks ride the self-sync
-        # parallel kernel on TPU (the scan kernel below compiles one step per
-        # potential symbol — unusable at MB chunk sizes).
-        if capacity is None and stream.size > BULK_DECODE_THRESHOLD:
+        # Bulk fast path: big chunks ride the self-sync parallel kernel on
+        # TPU (the scan kernel below runs one symbol per step — unusable at
+        # MB sizes). Capacity-bounded calls use the capped variant, which
+        # decodes only a capacity-sized prefix and retains the remainder —
+        # the SHORT_BUFFER resume protocol at device speed
+        # (reference contract: huffman.c:257-268, huffman_testing.c:75-173).
+        if stream.size > BULK_DECODE_THRESHOLD and (
+            capacity is None or capacity >= 64
+        ):
             from .ops import pallas_decode, selfsync
 
             if pallas_decode._on_tpu() and selfsync.supports(self.table):
-                out, end = selfsync.selfsync_decode_ex(
-                    stream.tobytes(), self.table, start_bit=start_bit
-                )
+                if capacity is None:
+                    out, end = selfsync.selfsync_decode_ex(
+                        stream.tobytes(), self.table, start_bit=start_bit
+                    )
+                    more = False
+                else:
+                    out, end, more = selfsync.selfsync_decode_capped(
+                        stream.tobytes(), self.table, int(capacity),
+                        start_bit=start_bit,
+                    )
                 self._rem = stream[end // 8 :].copy()
                 self._rem_start_bit = end % 8
-                return DecodeResult(out, True)
+                return DecodeResult(out, not more)
 
         words_np, _ = words_from_bytes_np(stream)
         words = jnp.concatenate([jnp.asarray(words_np), jnp.zeros(2, dtype=jnp.uint32)])

@@ -436,6 +436,34 @@ def build_table(
     return make_canonical(lens.tolist(), name=name)
 
 
+def safe_eos_padding(table: HuffmanTable) -> int | None:
+    """An eos_padding byte whose padding bits can never decode as a symbol.
+
+    The reference pads the final partial byte with the low ``8 - (bits%8)``
+    bits of ``eos_padding`` and leaves validating them to the caller
+    (reference: source/huffman.c:178-184, README.md:176-183) — so for
+    tables where the default all-ones padding completes a short code, a
+    foreign-stream decode emits spurious tail symbols. This searches for a
+    byte whose every possible padding tail (1..7 bits, MSB-first) matches
+    no complete code, making round-trips lossless without an index.
+    Returns None when no such byte exists (e.g. Kraft-complete tables with
+    all code lengths <= 7). HPACK's 0xFF is safe by construction (the EOS
+    prefix is 30 bits).
+    """
+    for eos in range(256):
+        ok = True
+        for k in range(1, 8):
+            pad = eos & ((1 << k) - 1)
+            window = (pad << (32 - k)) & 0xFFFFFFFF
+            _sym, bits_read = table.decode_window(window)
+            if 0 < bits_read <= k:
+                ok = False
+                break
+        if ok:
+            return eos
+    return None
+
+
 def load_static_test_table() -> HuffmanTable:
     """The 256-symbol static test table (max code length 10).
 
