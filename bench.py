@@ -105,7 +105,7 @@ def main():
     symbols = jnp.asarray(data_np)
 
     # ---------------- phase 1: time everything, transfer nothing ----------
-    encode_fn, enc_finalize = best_encode_step(table, n, K)
+    encode_fn, enc_finalize = best_encode_step(table, n, K, sample=data_np)
 
     def enc_body(i, carry):
         # Carry-perturb the input (one fused elementwise xor, ~16 us at

@@ -116,7 +116,10 @@ def bench_corpus(name, data_np, table, K, reps, emit):
     p32_flat = tuple(x for row in struct.p32 for x in row)
     symbols = jnp.asarray(data_np)
 
-    encode_fn, enc_finalize = best_encode_step(table, n, K)
+    # The sample-planned span envelope is the production steady state
+    # (pallas_encode._run learns it adaptively); the overflow flag is
+    # checked in enc_finalize after the clocks stop.
+    encode_fn, enc_finalize = best_encode_step(table, n, K, sample=data_np)
 
     def enc_body(i, carry):
         sym = symbols ^ carry.astype(jnp.uint8)
@@ -246,6 +249,26 @@ def bench_streaming(table, stream_mb, chunk_mb, emit):
     t_dec = time.perf_counter() - t0
     plain = b"".join(got)
     assert plain == data, "streaming round-trip mismatch"
+
+    # Output-capacity-bounded decode (the SHORT_BUFFER resume protocol,
+    # reference huffman.c:257-268): feed everything, then drain `cap`
+    # symbols per call through the capped self-sync fast path.
+    dec2 = th.HuffmanDecoder(table)
+    r = dec2.decode_chunk(encoded[: 2 * cap], capacity=cap)  # warm compile
+    while not r.done:
+        r = dec2.decode_chunk(b"", capacity=cap)
+    dec2.reset()
+    t0 = time.perf_counter()
+    got2 = []
+    r = dec2.decode_chunk(encoded, capacity=cap)
+    got2.append(r.data)
+    rounds = 1
+    while not r.done:
+        r = dec2.decode_chunk(b"", capacity=cap)
+        got2.append(r.data)
+        rounds += 1
+    t_capped = time.perf_counter() - t0
+    assert b"".join(got2) == data, "capped round-trip mismatch"
     ot = oracle.OracleTable(table)
     assert oracle.OracleEncoder(ot).encode(data[:1 << 20]) == th.encode(data[:1 << 20], table)
 
@@ -258,6 +281,8 @@ def bench_streaming(table, stream_mb, chunk_mb, emit):
         "detail": {
             "encode_gbps": round(n / t_enc / 1e9, 3),
             "decode_gbps": round(n / t_dec / 1e9, 3),
+            "capped_decode_gbps": round(n / t_capped / 1e9, 3),
+            "capped_rounds": rounds,
             "chunks": -(-len(encoded) // cap),
         },
     })

@@ -339,22 +339,34 @@ def encode_with_index(
     return bytes_from_words_np(np.asarray(words), nbytes), index
 
 
-def best_encode_step(table: HuffmanTable, n: int, block_symbols: int = 192):
+def best_encode_step(table: HuffmanTable, n: int, block_symbols: int = 192,
+                     sample=None):
     """Fastest available device encode for fixed-size inputs (bench seam).
 
     Returns ``(encode_fn, finalize_fn)``:
       encode_fn(symbols_dev_u8[n]) -> (words u32[>=ceil(bits/32)],
                                        total_bits, padded_bits) — jit-safe.
-      finalize_fn(symbols_dev)     -> same triple via a single normal call
+      finalize_fn(symbols_dev)     -> same triple, checking the
+                                      unknown-symbol / overflow flags
                                       (used for post-timing verification).
 
     Prefers the Pallas pack kernel (ops/pallas_encode.py) when the table
     supports it; falls back to the XLA gather+cumsum+scatter kernel.
+    ``sample`` (representative bytes) shrinks the per-block buffers to the
+    data's real span envelope (pallas_encode.plan_wb_encode); the overflow
+    flag in finalize_fn guards correctness.
     """
     from . import pallas_encode
 
     if pallas_encode.supports(table):
-        return pallas_encode.encode_step(table, n, block_symbols)
+        wb_hint = (
+            pallas_encode.plan_wb_encode(table, sample)
+            if sample is not None
+            else None
+        )
+        return pallas_encode.encode_step(
+            table, n, block_symbols, wb_hint=wb_hint
+        )
 
     dt = DeviceTable.for_table(table)
     num_words = n + 2

@@ -100,8 +100,8 @@ def _sub_block(K: int, min_len: int, max_len: int) -> int:
         # (256 symbols) stays derivable at large K.
         return min(K, 256)
     target = max(8, min(64, 320 // max(1, max_len - min_len)))
-    for s in (64, 32, 16, 8):
-        if s <= target and K % s == 0:
+    for s in (8, 16, 32, 64):  # smallest S >= target (S=16 beat 8 at spread 25)
+        if s >= target and K % s == 0:
             return s
     for s in (64, 32, 28, 20, 16, 12, 8, 4):
         if K % s == 0:
@@ -322,7 +322,13 @@ def _make_pack_call(p32t, lent, K: int, Wb: int, G: int,
                 off = off + loff
         for j in range(Wb):
             rows_ref[j] = w[j]
-        bad_ref[0] = bad.astype(jnp.int32)
+        # flags: bit 0 = unknown symbol (reference huffman.c:62-64);
+        # bit 1 = block overflowed the Wb-word buffer (only possible when
+        # the caller passed a span-adaptive wb_hint below the static
+        # bound; the wrapper re-runs with the full buffer).
+        bad_ref[0] = bad.astype(jnp.int32) | jnp.where(
+            off > 32 * Wb, jnp.int32(2), jnp.int32(0)
+        )
 
     grid_spec = pl.GridSpec(
         grid=(G,),
@@ -439,10 +445,12 @@ def _encode_pipeline(
 ):
     """Full fused encode: pack kernel + hierarchical offsets + stitch.
 
-    Returns (words u32[num_out_words], total_bits, padded_bits, bad_any,
-    offs_sub i32[B*nsub] — the absolute starting bit of every S-symbol
-    sub-block (S = _sub_block(K, ...)), free from the prefix sum; callers
-    derive coarser decode indexes from it).
+    Returns (words u32[num_out_words], total_bits, padded_bits, bad_any
+    — any unknown symbol, ovf_any — any block overflowed a span-adaptive
+    Wb (caller re-plans with the static bound), offs_sub i32[B*nsub] —
+    the absolute starting bit of every S-symbol sub-block
+    (S = _sub_block(K, ...)), free from the prefix sum; callers derive
+    coarser decode indexes from it).
     """
     K4 = K // 4
     B = G * LANES
@@ -453,7 +461,9 @@ def _encode_pipeline(
         p32t, lent, K, Wb, G, min_len, max_len, interpret, S
     )(staged, nsym.reshape(G, 8, 128))
     rows = rows.reshape(G, Wb, 8, 128).transpose(0, 2, 3, 1).reshape(B, Wb)
-    bad_any = jnp.any(bad.reshape(B) > 0)
+    flags = bad.reshape(B)
+    bad_any = jnp.any((flags & 1) > 0)
+    ovf_any = jnp.any((flags & 2) > 0)
 
     # Block offsets come from per-block totals in the kernel's native
     # (G, nsub, 8, 128) layout — no transpose on the hot path. The
@@ -541,7 +551,7 @@ def _encode_pipeline(
     words = words.at[pw + 1].add(
         (pad_p32 << (jnp.uint32(31) - psh)) << jnp.uint32(1), mode="drop"
     )
-    return words, total_bits, total_bits + pad_len, bad_any, offs_sub
+    return words, total_bits, total_bits + pad_len, bad_any, ovf_any, offs_sub
 
 
 def supports(table: HuffmanTable) -> bool:
@@ -557,7 +567,7 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _plan(table: HuffmanTable, n: int, K: int = 32):
+def _plan(table: HuffmanTable, n: int, K: int = 32, wb_cap: int | None = None):
     # Direct per-symbol tables (hashable tuples: they key the lru-cached
     # pallas_call): left-aligned pattern and code length, length 0 =
     # unknown symbol (the reference coder contract, huffman.h:34-36).
@@ -571,6 +581,14 @@ def _plan(table: HuffmanTable, n: int, K: int = 32):
     min_len = int(lens.min())
     max_len = int(lens.max())
     Wb = -(-(K * max_len) // 32)
+    if wb_cap is not None:
+        # Span-adaptive per-block buffer (see plan_wb_encode): real block
+        # spans of compressible data sit far below the K*max_len worst
+        # case, and the barrel + stitch-scatter stages scale with Wb
+        # (prof_true_deep_stages.py: ~63% of the deep-table pipeline).
+        # The pack kernel flags any block that overflows; callers re-run
+        # with the static bound, so this is purely a fast path.
+        Wb = min(Wb, max(-(-max(K * min_len, 256) // 32), -(-wb_cap // 8) * 8))
     B = -(-max(n, 1) // K)
     G = -(-B // LANES)
     # Bucket the output length to a power of two (>=128, the stitch's
@@ -619,19 +637,51 @@ def offset_granularity(table: HuffmanTable) -> int:
     return _sub_block(k, int(lens.min()), int(lens.max()))
 
 
-def encode_step(table: HuffmanTable, n: int, block_symbols: int = 192,
-                eos_padding: int = 0xFF, K: int | None = None):
-    """Bench/entry seam: returns (encode_fn, finalize_fn) for fixed n.
+def plan_wb_encode(table: HuffmanTable, sample, K: int | None = None) -> int:
+    """Per-block word-buffer size from a representative data sample.
 
-    encode_fn(symbols u8[n] on device) -> (words, total_bits, padded_bits),
-    jit-traceable. finalize_fn is the same function (it is already a single
-    fused call), used for post-timing verification. K=None picks
-    pack_k(table).
+    The encode pipeline's barrel + stitch stages scale with the per-block
+    buffer Wb; the static bound assumes every code is maximal, while real
+    blocks of compressible data are ~max_len/avg_len smaller. Plan Wb from
+    the sample's actual max block span (x1.25 + slack); the kernel's
+    overflow flag keeps other inputs correct (the wrapper re-runs with the
+    static bound). Mirrors pallas_decode.plan_wb on the decode side.
     """
     if K is None:
         K = pack_k(table)
+    arr = (
+        np.frombuffer(bytes(sample), dtype=np.uint8)
+        if isinstance(sample, (bytes, bytearray))
+        else np.asarray(sample, dtype=np.uint8)
+    )
+    lens = table.lengths[arr].astype(np.int64)
+    nb = lens.size // K
+    if nb == 0:
+        return -(-(K * int(table.max_len)) // 32)
+    spans = lens[: nb * K].reshape(nb, K).sum(axis=1)
+    max_span = int(spans.max())
+    return (max_span + max_span // 4) // 32 + 4
+
+
+def encode_step(table: HuffmanTable, n: int, block_symbols: int = 192,
+                eos_padding: int = 0xFF, K: int | None = None,
+                wb_hint: int | None = None):
+    """Bench/entry seam: returns (encode_fn, finalize_fn) for fixed n.
+
+    encode_fn(symbols u8[n] on device) -> (words, total_bits, padded_bits),
+    jit-traceable. finalize_fn runs the same pipeline but checks the
+    unknown-symbol and buffer-overflow flags eagerly (raises
+    UnknownSymbolError / OverflowError) — used for post-timing
+    verification. K=None picks pack_k(table); wb_hint (from
+    plan_wb_encode) shrinks the per-block buffers to the sample's real
+    span envelope.
+    """
+    from ..errors import UnknownSymbolError
+
+    if K is None:
+        K = pack_k(table)
     p32t, lent, min_len, max_len, Wb, G, num_out_words = _plan(
-        table, n, K
+        table, n, K, wb_cap=wb_hint
     )
     B = G * LANES
     nsym_np = np.zeros(B, np.int32)
@@ -643,51 +693,88 @@ def encode_step(table: HuffmanTable, n: int, block_symbols: int = 192,
     pad_to = B * K
     interpret = _use_interpret()
 
-    def encode_fn(symbols):
+    def _pipeline(symbols):
         padded = jnp.pad(symbols, (0, pad_to - n))
         syms_u32 = jax.lax.bitcast_convert_type(
             padded.reshape(-1, 4), jnp.uint32
         ).reshape(-1)
-        words, total_bits, padded_bits, _bad, _offs = _encode_pipeline(
+        return _encode_pipeline(
             syms_u32, nsym, jnp.uint32(eos_padding), K, G, Wb, num_out_words,
             p32t, lent, min_len, max_len, interpret,
         )
+
+    def encode_fn(symbols):
+        words, total_bits, padded_bits, _bad, _ovf, _offs = _pipeline(symbols)
         return words, total_bits, padded_bits
 
-    return encode_fn, encode_fn
+    def finalize_fn(symbols):
+        words, total_bits, padded_bits, bad, ovf, _offs = _pipeline(symbols)
+        if bool(ovf):
+            raise OverflowError(
+                f"block overflowed the span-adaptive buffer (wb_hint="
+                f"{wb_hint}); re-plan without the hint"
+            )
+        if bool(bad):
+            raise UnknownSymbolError()
+        return words, total_bits, padded_bits
+
+    return encode_fn, finalize_fn
+
+
+_WB_HINT: dict[int, int] = {}  # id(table) -> adaptive Wb from prior encodes
 
 
 def _run(symbols: np.ndarray, table: HuffmanTable, eos_padding: int):
     """Shared one-shot driver: returns (words_dev, total_bits, padded_bits,
     offs_dev at offset_granularity(table) granularity). Raises
-    UnknownSymbolError."""
+    UnknownSymbolError.
+
+    Uses the table's adaptive span hint when one has been learned from a
+    previous encode (the kernel's overflow flag triggers a safe re-run
+    with the static bound when the data is less compressible than before).
+    """
     from ..errors import UnknownSymbolError
 
     n = symbols.size
     K = pack_k(table)
-    p32t, lent, min_len, max_len, Wb, G, num_out_words = _plan(
-        table, n, K
-    )
-    B = G * LANES
-    nsym_np = np.zeros(B, np.int32)
-    full = n // K
-    nsym_np[:full] = K
-    if n % K:
-        nsym_np[full] = n % K
-    pad_to = B * K
-    padded = np.zeros(pad_to, np.uint8)
-    padded[:n] = symbols
-    syms_u32 = padded.view("<u4")
-    words, total_bits, padded_bits, bad, offs = _encode_pipeline(
-        jnp.asarray(syms_u32), jnp.asarray(nsym_np), jnp.uint32(eos_padding),
-        K, G, Wb, num_out_words,
-        p32t, lent, min_len, max_len,
-        _use_interpret(),
-    )
+    for wb_cap in (_WB_HINT.get(id(table)), None):
+        p32t, lent, min_len, max_len, Wb, G, num_out_words = _plan(
+            table, n, K, wb_cap=wb_cap
+        )
+        B = G * LANES
+        nsym_np = np.zeros(B, np.int32)
+        full = n // K
+        nsym_np[:full] = K
+        if n % K:
+            nsym_np[full] = n % K
+        pad_to = B * K
+        padded = np.zeros(pad_to, np.uint8)
+        padded[:n] = symbols
+        syms_u32 = padded.view("<u4")
+        words, total_bits, padded_bits, bad, ovf, offs = _encode_pipeline(
+            jnp.asarray(syms_u32), jnp.asarray(nsym_np),
+            jnp.uint32(eos_padding),
+            K, G, Wb, num_out_words,
+            p32t, lent, min_len, max_len,
+            _use_interpret(),
+        )
+        if wb_cap is not None and bool(ovf):
+            continue  # data outgrew the learned hint: static-bound re-run
+        break
     if bool(bad):
         lens = table.lengths[symbols]
         idx = int(np.argmax(lens == 0))
         raise UnknownSymbolError(index=idx, symbol=int(symbols[idx]))
+    # Learn/refresh the span hint from this stream's sub-block offsets
+    # (host work O(blocks)): max block span x1.25 + slack.
+    S = _sub_block(K, min_len, max_len)
+    step = K // S
+    offs_np = np.asarray(offs).astype(np.int64)
+    blk = offs_np[::step]
+    if blk.size > 1:
+        spans = np.diff(blk, append=np.int64(int(total_bits)))
+        ms = int(spans.max())
+        _WB_HINT[id(table)] = (ms + ms // 4) // 32 + 4
     return words, total_bits, padded_bits, offs
 
 

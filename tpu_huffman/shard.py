@@ -152,7 +152,8 @@ def _shard_encode_body_pallas(symbols, n_valid, *, K, G, Wb, num_out_words,
     ).reshape(-1)
     # eos_padding=0: shard streams must NOT pad (only the global stream
     # end gets eos bits, applied by the caller); a zero pad ORs nothing.
-    words0, local_bits, _padded_bits, bad, offs_sub = _encode_pipeline(
+    # Static Wb (no span hint) -> the overflow flag can never fire here.
+    words0, local_bits, _padded_bits, bad, _ovf, offs_sub = _encode_pipeline(
         syms_u32, nsym, jnp.uint32(0), K, G, Wb, num_out_words,
         p32t, lent, min_len, max_len, interpret,
     )
