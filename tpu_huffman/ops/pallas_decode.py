@@ -211,7 +211,15 @@ def _interval_decode(w, intervals):
       boundary and (L, bias) accumulate as select-adds of constant
       deltas, with the variable shift hoisted out of the loop
       (deep table: 735 -> 604 us; this loop is the deep decode kernel's
-      floor — window-width clamping only bought 7%)."""
+      floor — window-width clamping only bought 7%).
+
+    The telescoped form packs BOTH accumulators into one u32,
+    ``P = ((bias & 0x3FFFFFF) << 6) | L``: the boundaries are sorted, so
+    for any window exactly a PREFIX of the chain fires and the sum of
+    full-width u32 deltas telescopes exactly to the last fired entry's
+    P (mod 2^32) — one compare + one select-add per boundary instead of
+    two. rank < 256 <= 2^26, so computing it mod 2^26 from the truncated
+    bias is exact."""
     if len(intervals) < 12:
         ln = jnp.zeros(w.shape, jnp.int32)
         rank = jnp.zeros(w.shape, jnp.int32)
@@ -239,19 +247,19 @@ def _interval_decode(w, intervals):
         pos = hi
     if pos is not None and pos < (1 << 32):
         chain.append((pos, 0, 0))  # top gap
-    ln = jnp.zeros(w.shape, jnp.int32)
-    bias_acc = jnp.zeros(w.shape, jnp.int32)
-    prev_L = 0
-    prev_b = 0
+    acc = jnp.zeros(w.shape, jnp.uint32)
+    prev_p = 0
     for (lo, L, bias) in chain:
-        t = w >= jnp.uint32(lo)
-        if L != prev_L:
-            ln = ln + jnp.where(t, jnp.int32(L - prev_L), 0)
-        if bias != prev_b:
-            bias_acc = bias_acc + jnp.where(t, jnp.int32(bias - prev_b), 0)
-        prev_L, prev_b = L, bias
-    sh = (jnp.uint32(32) - ln.astype(jnp.uint32)) & jnp.uint32(31)
-    rank = (w >> sh).astype(jnp.int32) + bias_acc
+        p = (((bias & 0x3FFFFFF) << 6) | L) & 0xFFFFFFFF
+        if p != prev_p:
+            t = w >= jnp.uint32(lo)
+            acc = acc + jnp.where(
+                t, jnp.uint32((p - prev_p) & 0xFFFFFFFF), jnp.uint32(0)
+            )
+        prev_p = p
+    ln = (acc & jnp.uint32(63)).astype(jnp.int32)
+    sh = (jnp.uint32(32) - acc) & jnp.uint32(31)
+    rank = (((w >> sh) + (acc >> jnp.uint32(6))) & jnp.uint32(0x3FFFFFF)).astype(jnp.int32)
     rank = jnp.where(ln > 0, rank, 0)
     return rank, ln
 
@@ -492,6 +500,11 @@ def _make_pallas_call(intervals, p32_flat, K: int, Wb: int, G: int, interpret: b
         S4 = S // 4
         # Per-re-anchor roll distance d = off>>5 with off <= 31 + S*mx.
         roll_ks = [k for k in (64, 32, 16, 8, 4, 2, 1) if k <= (31 + S * mx) >> 5]
+        # (A 4-symbol group-refill variant — one extract_at roll per group
+        # feeding tiny per-symbol trees — measured 45% SLOWER than the
+        # per-symbol bounded trees on the deep table: 569 vs 391 us per
+        # 8 MiB. The serialized extract->decode chain schedules worse than
+        # four independent-ish select trees.)
         for s in range(nsub):
             for u4 in range(S4):
                 packed = jnp.zeros((8, 128), jnp.uint32)
