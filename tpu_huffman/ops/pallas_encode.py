@@ -112,14 +112,25 @@ def _sub_block(K: int, min_len: int, max_len: int) -> int:
 @functools.lru_cache(maxsize=64)
 def _make_pack_call(p32t, lent, K: int, Wb: int, G: int,
                     min_len: int, max_len: int, interpret: bool,
-                    S: int | None = None):
+                    S: int | None = None, fuse_sw: int = 0):
     """pallas_call packing K symbols/lane into Wb words, G grid steps.
 
     p32t/lent: 256-tuples of the left-aligned code pattern (u32 as int)
     and code length per symbol (length 0 = unknown symbol, the reference
-    coder contract, huffman.h:34-36).
+    coder contract, huffman.h:36-57).
 
     S: re-anchor interval (see _sub_block); None or K = single anchor.
+
+    fuse_sw > 0 = FUSED STITCH: the kernel itself computes every block's
+    global bit offset (an in-kernel MXU cumsum over the (8,128) tile of
+    block bit totals + a VMEM carry tile across the sequential grid) and
+    funnel-shifts + barrel-rotates its rows to their global phase, so the
+    wrapper needs only the relayout + fuse_sw-wide row scatter-adds — the
+    XLA cumsum/funnel/barrel stages (and their HBM round trips) vanish.
+    Requires 128*K*max_len <= 2^24 (f32 MXU row-cumsum exactness, same
+    envelope as _exclusive_cumsum_blocks' mxu_inner). Outputs become
+    (rows[G*Wtot,8,128] pre-barreled with Wtot=fuse_sw*ceil((Wb+fuse_sw)/
+    fuse_sw), bits, offs[G,8,128] exclusive block bit offsets, bad).
     """
     K4 = K // 4
     if S is None:
@@ -208,8 +219,22 @@ def _make_pack_call(p32t, lent, K: int, Wb: int, G: int,
     Ws = -(-(S * max_len) // 32) if nsub > 1 else Wb
 
     n_luts = tbl_np.shape[0]
+    SWf = fuse_sw
+    nrows_f = -(-(Wb + SWf) // SWf) if SWf else 0
+    Wtot_f = SWf * nrows_f
+    if SWf:
+        # f32 MXU cumsum matrices: column-inclusive upper-tri + all-ones
+        # (row totals). Exact while 128*K*max_len <= 2^24 (caller guard).
+        tri_np = np.stack(
+            [np.triu(np.ones((128, 128), np.float32)),
+             np.ones((128, 128), np.float32)]
+        )
 
-    def kernel(syms_ref, nsym_ref, luts_ref, rows_ref, bits_ref, bad_ref):
+    def kernel(syms_ref, nsym_ref, luts_ref, *refs):
+        if SWf:
+            tri_ref, rows_ref, bits_ref, bad_ref, offs_ref, carry_ref = refs
+        else:
+            rows_ref, bits_ref, bad_ref = refs
         luts = tuple(luts_ref[t] for t in range(n_luts))
         ns = nsym_ref[0]
         zero = jnp.zeros((8, 128), jnp.uint32)
@@ -320,8 +345,6 @@ def _make_pack_call(p32t, lent, K: int, Wb: int, G: int,
                 for t in range(width):
                     w[j_anchor + t] = w[j_anchor + t] | buf[t]
                 off = off + loff
-        for j in range(Wb):
-            rows_ref[j] = w[j]
         # flags: bit 0 = unknown symbol (reference huffman.c:62-64);
         # bit 1 = block overflowed the Wb-word buffer (only possible when
         # the caller passed a span-adaptive wb_hint below the static
@@ -329,33 +352,110 @@ def _make_pack_call(p32t, lent, K: int, Wb: int, G: int,
         bad_ref[0] = bad.astype(jnp.int32) | jnp.where(
             off > 32 * Wb, jnp.int32(2), jnp.int32(0)
         )
+        if not SWf:
+            for j in range(Wb):
+                rows_ref[j] = w[j]
+            return
 
-    grid_spec = pl.GridSpec(
-        grid=(G,),
-        in_specs=[
-            pl.BlockSpec((1, K4, 8, 128), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((Wb, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nsub, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-        ],
-    )
+        # ---- fused stitch: global offsets + funnel + barrel in VMEM ----
+        # Block order is b = g*1024 + sublane*128 + lane (the staging
+        # reshape). Exclusive prefix over the tile: lane-inclusive via ONE
+        # f32 MXU matmul against the upper-triangular ones (exact while
+        # 128*K*max_len <= 2^24, caller-guarded), sublane prefix via 3
+        # masked Hillis-Steele rolls in i32, carry across the sequential
+        # grid in a VMEM scratch tile (dimension_semantics=ARBITRARY).
+        btf = off.astype(jnp.float32)
+        lane_incl = jax.lax.dot(
+            btf, tri_ref[0], precision=jax.lax.Precision.HIGHEST
+        )
+        row_tot = jax.lax.dot(
+            btf, tri_ref[1], precision=jax.lax.Precision.HIGHEST
+        ).astype(jnp.int32)
+        acc = row_tot
+        for kk in (1, 2, 4):
+            rolled = pltpu.roll(acc, kk, 0)
+            m = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) >= kk
+            acc = acc + jnp.where(m, rolled, 0)
+        tot = row_tot
+        for kk in (1, 2, 4):
+            tot = tot + pltpu.roll(tot, kk, 0)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            carry_ref[...] = jnp.zeros((8, 128), jnp.int32)
+
+        carry = carry_ref[...]
+        offs_t = carry + (lane_incl - btf).astype(jnp.int32) + (acc - row_tot)
+        carry_ref[...] = carry + tot
+        offs_ref[0] = offs_t
+
+        # Bit-level funnel to the global phase (offs & 31).
+        rel = (offs_t & 31).astype(jnp.uint32)
+        shifted = []
+        for t in range(Wb + 1):
+            cur = (w[t] >> rel) if t < Wb else zero
+            if t > 0:
+                cur = cur | ((w[t - 1] << (jnp.uint32(31) - rel)) << jnp.uint32(1))
+            shifted.append(cur)
+        # Word-level barrel to column (offs>>5) & (SWf-1): the wrapper's
+        # scatter-add then works on SWf-wide rows directly.
+        col = (offs_t >> 5) & (SWf - 1)
+        buf = shifted + [zero] * (Wtot_f - (Wb + 1))
+        kk = SWf // 2
+        while kk >= 1:
+            selk = (col & kk) != 0
+            buf = [
+                jnp.where(selk, buf[t - kk] if t - kk >= 0 else zero, buf[t])
+                for t in range(Wtot_f)
+            ]
+            kk //= 2
+        for t in range(Wtot_f):
+            rows_ref[t] = buf[t]
+
+    in_specs = [
+        pl.BlockSpec((1, K4, 8, 128), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    W_out = Wtot_f if SWf else Wb
+    out_specs = [
+        pl.BlockSpec((W_out, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nsub, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((G * W_out, 8, 128), jnp.uint32),
+        jax.ShapeDtypeStruct((G * nsub, 8, 128), jnp.int32),
+        jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
+    ]
+    extra = {}
+    if SWf:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # tri/ones
+        out_specs.append(
+            pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((G, 8, 128), jnp.int32))
+        extra = dict(
+            scratch_shapes=[pltpu.VMEM((8, 128), jnp.int32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)
+            ),
+        )
     call = pl.pallas_call(
         kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((G * Wb, 8, 128), jnp.uint32),
-            jax.ShapeDtypeStruct((G * nsub, 8, 128), jnp.int32),
-            jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
-        ],
+        grid=(G,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
+        **extra,
     )
+
     def run(staged_syms, nsym):
         # tbl_np stays a host constant; materializing it per trace avoids
         # caching a tracer in this lru-cached closure.
+        if SWf:
+            return call(staged_syms, nsym, jnp.asarray(tbl_np), jnp.asarray(tri_np))
         return call(staged_syms, nsym, jnp.asarray(tbl_np))
 
     return run
@@ -457,10 +557,16 @@ def _encode_pipeline(
     S = _sub_block(K, min_len, max_len)
     nsub = K // S
     staged = syms_padded_u32.reshape(G, 8, 128, K4).transpose(0, 3, 1, 2)
-    rows, bits, bad = _make_pack_call(
-        p32t, lent, K, Wb, G, min_len, max_len, interpret, S
+    # Fused stitch (in-kernel offsets + funnel + barrel) whenever the f32
+    # MXU row-cumsum envelope holds — the same guard as mxu_inner below.
+    fuse_sw = STITCH_SW if (128 * K * max_len <= 1 << 24) else 0
+    out = _make_pack_call(
+        p32t, lent, K, Wb, G, min_len, max_len, interpret, S, fuse_sw
     )(staged, nsym.reshape(G, 8, 128))
-    rows = rows.reshape(G, Wb, 8, 128).transpose(0, 2, 3, 1).reshape(B, Wb)
+    if fuse_sw:
+        rows, bits, bad, offs_t = out
+    else:
+        rows, bits, bad = out
     flags = bad.reshape(B)
     bad_any = jnp.any((flags & 1) > 0)
     ovf_any = jnp.any((flags & 2) > 0)
@@ -473,12 +579,17 @@ def _encode_pipeline(
     # which measured ~160 us at 8 MiB (scripts/prof/prof_true_stitch.py).
     bits4 = bits.reshape(G, nsub, 8, 128)
     bt = bits4.sum(axis=1).reshape(B)  # per-block bit totals, b-order
-    # f32 MXU cumsum is exact only while a 128-block row sum stays < 2^24;
-    # each block is <= K*max_len bits, so guard on 128*K*max_len. Beyond
-    # that (huge public K on a deep table) take the exact int32 path.
-    offs, total_bits = _exclusive_cumsum_blocks(
-        bt, mxu_inner=(128 * K * max_len <= 1 << 24)
-    )
+    if fuse_sw:
+        offs = offs_t.reshape(B)
+        total_bits = offs[B - 1] + bt[B - 1]
+    else:
+        # f32 MXU cumsum is exact only while a 128-block row sum stays
+        # < 2^24; each block is <= K*max_len bits, so guard on
+        # 128*K*max_len. Beyond that (huge public K on a deep table)
+        # take the exact int32 path.
+        offs, total_bits = _exclusive_cumsum_blocks(
+            bt, mxu_inner=(128 * K * max_len <= 1 << 24)
+        )
     if nsub > 1:
         # Sub-block inclusive chain feeds ONLY the returned index; when the
         # caller drops offs_sub (the fixed-shape bench/entry seam) XLA DCEs
@@ -502,37 +613,46 @@ def _encode_pipeline(
     # measured a net ~0.5 ms LOSS at 8 MiB: the merge's roll/funnel traffic
     # exceeds the scatter's savings once indices_are_sorted is set —
     # scripts/prof/prof_encode_prod.py, 11.5 ms merged vs 11.0 ms plain.)
-    rel = (offs & 31).astype(jnp.uint32)
-
-    # Bit-level funnel: align each row to its global bit phase (offs & 31).
-    rows_ext = jnp.concatenate([rows, jnp.zeros((B, 1), jnp.uint32)], axis=1)
-    prev = jnp.concatenate([jnp.zeros((B, 1), jnp.uint32), rows], axis=1)
-    shifted = (rows_ext >> rel[:, None]) | (
-        (prev << ((jnp.uint32(31) - rel[:, None]))) << jnp.uint32(1)
-    )
-
-    # Word-level barrel: place the Wb+1 words at column (offs>>5)&(SW-1) of
-    # an nrows*SW-word buffer, so the scatter becomes nrows SW-wide ROW
-    # scatters. Scatter cost is dominated by index count (~19-29 ns/index,
-    # scripts/prof/prof_scatter.py / prof_sorted_hints.py); fat rows
-    # amortize it. SW=128 beat 32 decisively under the honest in-loop
-    # protocol (full pipeline at 8 MiB, K=256: 0.88 ms vs 1.25 ms —
-    # scripts/prof/prof_true_scatter_variants.py): the wider barrel roll's
-    # extra elementwise traffic costs less than the 4x scatter-index
-    # reduction saves. Adds stay duplicate-tolerant (no unique_indices):
-    # two blocks can share a SW-word row whenever K*min_len < 32*SW bits.
-    SW = STITCH_SW
+    SW = fuse_sw if fuse_sw else STITCH_SW
     nrows = -(-(Wb + SW) // SW)  # Wb+1 words shifted right by up to SW-1
     Wtot = SW * nrows
-    a = ((offs >> 5) & (SW - 1)).astype(jnp.int32)
-    buf = jnp.concatenate(
-        [shifted, jnp.zeros((B, Wtot - (Wb + 1)), jnp.uint32)], axis=1
-    )
-    k = SW // 2
-    while k >= 1:
-        rolled = jnp.pad(buf, ((0, 0), (k, 0)))[:, :Wtot]
-        buf = jnp.where((a[:, None] & k) != 0, rolled, buf)
-        k //= 2
+    if fuse_sw:
+        # Kernel rows are already funnel-shifted and barrel-rotated to
+        # their global phase: relayout and scatter directly.
+        buf = rows.reshape(G, Wtot, 8, 128).transpose(0, 2, 3, 1).reshape(B, Wtot)
+    else:
+        rows = rows.reshape(G, Wb, 8, 128).transpose(0, 2, 3, 1).reshape(B, Wb)
+        rel = (offs & 31).astype(jnp.uint32)
+
+        # Bit-level funnel: align each row to its global bit phase
+        # (offs & 31).
+        rows_ext = jnp.concatenate([rows, jnp.zeros((B, 1), jnp.uint32)], axis=1)
+        prev = jnp.concatenate([jnp.zeros((B, 1), jnp.uint32), rows], axis=1)
+        shifted = (rows_ext >> rel[:, None]) | (
+            (prev << ((jnp.uint32(31) - rel[:, None]))) << jnp.uint32(1)
+        )
+
+        # Word-level barrel: place the Wb+1 words at column
+        # (offs>>5)&(SW-1) of an nrows*SW-word buffer, so the scatter
+        # becomes nrows SW-wide ROW scatters. Scatter cost is dominated by
+        # index count (~19-29 ns/index, scripts/prof/prof_scatter.py /
+        # prof_sorted_hints.py); fat rows amortize it. SW=128 beat 32
+        # decisively under the honest in-loop protocol (full pipeline at
+        # 8 MiB, K=256: 0.88 ms vs 1.25 ms —
+        # scripts/prof/prof_true_scatter_variants.py): the wider barrel
+        # roll's extra elementwise traffic costs less than the 4x
+        # scatter-index reduction saves. Adds stay duplicate-tolerant (no
+        # unique_indices): two blocks can share a SW-word row whenever
+        # K*min_len < 32*SW bits.
+        a = ((offs >> 5) & (SW - 1)).astype(jnp.int32)
+        buf = jnp.concatenate(
+            [shifted, jnp.zeros((B, Wtot - (Wb + 1)), jnp.uint32)], axis=1
+        )
+        k = SW // 2
+        while k >= 1:
+            rolled = jnp.pad(buf, ((0, 0), (k, 0)))[:, :Wtot]
+            buf = jnp.where((a[:, None] & k) != 0, rolled, buf)
+            k //= 2
 
     # SW-word output row index (offs is a cumsum => sorted, maybe w/ dups).
     r0 = offs >> (5 + SW.bit_length() - 1)
