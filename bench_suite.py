@@ -346,7 +346,9 @@ def main():
         w = np.where(lens > 0, 2.0 ** -lens, 0.0)
         w = w / w.sum()
         corpus = rng.choice(256, size=n, p=w).astype(np.uint8)
-        bench_corpus("table_5_30", corpus, t530, 256, args.repeats, emit)
+        # K=512 decode index: the interleaved deep-table sweep measured
+        # K=256 ~8% slower (BASELINE.md round-2 item 3).
+        bench_corpus("table_5_30", corpus, t530, 512, args.repeats, emit)
     elif config == "streaming":
         table = th.load_static_test_table()
         bench_streaming(table, args.stream_mb, args.chunk_mb, emit)
