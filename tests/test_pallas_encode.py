@@ -93,3 +93,93 @@ def test_best_encode_step_dispatch(table):
 
     got = bytes_from_words_np(np.asarray(words), int(padded_bits) // 8)
     assert got == _host_encode(data.tobytes(), table)
+
+
+def test_fused_stitch_multi_grid_carry(table):
+    """The fused-stitch kernel carries block offsets across grid steps in a
+    VMEM scratch tile (sequential grid); K=4 forces G >= 4 so a bug in the
+    carry (or in grid ordering) shifts every block after the first 1024."""
+    import jax.numpy as jnp
+
+    n = 20000
+    rng = np.random.default_rng(5)
+    data = rng.integers(0, 256, size=n, dtype=np.uint8)
+    want = _host_encode(data.tobytes(), table)
+    from tpu_huffman.ops.bitpack import bytes_from_words_np
+
+    enc, fin = pallas_encode.encode_step(table, n, K=4)
+    words, total_bits, padded_bits = fin(jnp.asarray(data))
+    got = bytes_from_words_np(np.asarray(words), (int(padded_bits) + 7) // 8)
+    assert got == want
+
+
+def test_fused_matches_classic_pipeline(table):
+    """Force the classic XLA funnel/barrel/cumsum path (fuse_sw=0 via a
+    huge synthetic max_len guard breach is awkward; instead call the
+    kernel builder directly) and compare whole-pipeline outputs."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 8192
+    K = 8
+    rng = np.random.default_rng(11)
+    data = rng.integers(0, 256, size=n, dtype=np.uint8)
+    want = _host_encode(data.tobytes(), table)
+    from tpu_huffman.ops.bitpack import bytes_from_words_np
+
+    p32t, lent, mn, mx, Wb, G, now = pallas_encode._plan(table, n, K)
+    B = G * pallas_encode.LANES
+    nsym_np = np.zeros(B, np.int32)
+    nsym_np[: n // K] = K
+    if n % K:
+        nsym_np[n // K] = n % K
+    padded = np.zeros(B * K, np.uint8)
+    padded[:n] = data
+    syms_u32 = jnp.asarray(padded.view("<u4"))
+    nsym = jnp.asarray(nsym_np)
+
+    outs = {}
+    for fuse in (0, pallas_encode.STITCH_SW):
+        out = pallas_encode._make_pack_call(
+            p32t, lent, K, Wb, G, mn, mx,
+            pallas_encode._use_interpret(), None, fuse,
+        )(
+            syms_u32.reshape(G, 8, 128, K // 4).transpose(0, 3, 1, 2),
+            nsym.reshape(G, 8, 128),
+        )
+        outs[fuse] = out
+    # Classic: rows anchored at bit 0 per block. Fused: pre-barreled rows
+    # + offsets. Compare at the whole-stream level via the public seam.
+    words, total_bits, _pb, bad, ovf, offs_sub = pallas_encode._encode_pipeline(
+        syms_u32, nsym, jnp.uint32(0xFF), K, G, Wb, now,
+        p32t, lent, mn, mx, pallas_encode._use_interpret(),
+    )
+    got = bytes_from_words_np(
+        np.asarray(words), (int(total_bits) + 7 + (-int(total_bits)) % 8) // 8
+    )
+    # padded_bits rounding: use the host result length directly.
+    got = got[: len(want)]
+    assert got == want
+    assert not bool(bad) and not bool(ovf)
+    # The fused offsets equal an exclusive cumsum of per-block bit totals.
+    _rows, bits, _bad, offs_t = outs[pallas_encode.STITCH_SW]
+    nsub = K // pallas_encode._sub_block(K, mn, mx)
+    bt = np.asarray(bits).reshape(G, nsub, 8, 128).sum(axis=1).reshape(B)
+    offs = np.asarray(offs_t).reshape(B)
+    want_offs = np.concatenate([[0], np.cumsum(bt)[:-1]]).astype(np.int64)
+    assert (offs == want_offs).all()
+
+
+def test_fused_tiny_and_exact_fit(table):
+    """n < K (single partial block) and n exactly filling all blocks."""
+    import jax.numpy as jnp
+    from tpu_huffman.ops.bitpack import bytes_from_words_np
+
+    for n, K in ((3, 8), (4096, 4)):
+        rng = np.random.default_rng(n)
+        data = rng.integers(0, 256, size=n, dtype=np.uint8)
+        want = _host_encode(data.tobytes(), table)
+        enc, fin = pallas_encode.encode_step(table, n, K=K)
+        words, total_bits, padded_bits = fin(jnp.asarray(data))
+        got = bytes_from_words_np(np.asarray(words), (int(padded_bits) + 7) // 8)
+        assert got == want
