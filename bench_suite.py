@@ -73,7 +73,7 @@ def english_like_corpus(n: int, seed: int = 7) -> bytes:
     return rng.choice(alphabet, size=n, p=weights).astype(np.uint8).tobytes()
 
 
-def _loop_time(body, k_lo=9, k_hi=65, reps=3):
+def _loop_time(body, k_lo=9, k_hi=65, reps=5):
     """True per-iteration seconds via in-program loop slope (bench.py)."""
     import functools
 
@@ -84,16 +84,21 @@ def _loop_time(body, k_lo=9, k_hi=65, reps=3):
     def run(seed, k):
         return jax.lax.fori_loop(0, k, body, seed)
 
-    tot = {}
+    def timed(k):
+        t0 = time.perf_counter()
+        int(run(jnp.uint32(1), k))
+        return time.perf_counter() - t0
+
     for k in (k_lo, k_hi):
         int(run(jnp.uint32(1), k))  # compile + warm
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            int(run(jnp.uint32(1), k))
-            best = min(best, time.perf_counter() - t0)
-        tot[k] = best
-    return (tot[k_hi] - tot[k_lo]) / (k_hi - k_lo)
+    # Paired slopes (see bench.py): both loop lengths measured back-to-back
+    # per rep so a fast/slow chip period can't mix across the subtraction.
+    best = float("inf")
+    for _ in range(reps):
+        s = (timed(k_hi) - timed(k_lo)) / (k_hi - k_lo)
+        if s > 0:
+            best = min(best, s)
+    return best
 
 
 def bench_corpus(name, data_np, table, K, reps, emit):
