@@ -613,6 +613,10 @@ def _decode_pipeline(words, base, rel, nsym, K, Wb, G, intervals, p32_flat, inte
     # r comes from the block bit-offset index (a cumsum) => sorted; the
     # sorted .at[].get beats jnp.take 7.8 -> 4.5 ms on 3x64Ki row-takes
     # (scripts/prof/prof_sorted_hints.py).
+    # (A single layout-emitting lax.gather — offset_dims (1,2) placing the
+    # (NR, RW) slice so the transpose pass disappears — was tried and
+    # measured 17 ms vs ~320 us: XLA scalarizes multi-offset-dim gathers
+    # on TPU. The two-pass row-take + tiled transpose stays.)
     win = jnp.concatenate(
         [
             spans.at[r + t].get(mode="clip", indices_are_sorted=True)
