@@ -139,3 +139,41 @@ def test_sparse_table_decode_rejects_or_roundtrips(seed):
     except th.UnknownSymbolError:
         return
     assert set(out) <= {65, 66, 67, 68}
+
+
+@given(seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=8, deadline=None)  # each example compiles a fresh kernel
+def test_random_table_encode_matches_host(seed):
+    """Fused-stitch pipeline vs the host bit-packer over RANDOM canonical
+    tables and random data (the fused path computes offsets/funnel/barrel
+    in-kernel — this guards its cumsum/carry against table-shape edge
+    cases the fixed tables don't hit)."""
+    rng = np.random.default_rng(seed)
+    # random Kraft-complete length assignment over a random alphabet size
+    nsym = int(rng.integers(2, 257))
+    lens = {}
+    budget = 1.0
+    for s in range(nsym - 1):
+        max_l = min(15, int(-np.log2(max(budget - (nsym - 1 - s) * 2.0**-15, 2.0**-15))) + 1)
+        L = int(rng.integers(2, max(3, max_l + 1)))
+        while 2.0**-L > budget - (nsym - 1 - s) * 2.0**-15:
+            L += 1
+        lens[s] = L
+        budget -= 2.0**-L
+    import math
+    L_last = max(1, math.ceil(-math.log2(budget))) if budget > 0 else 15
+    lens[nsym - 1] = min(32, L_last)
+    try:
+        tbl = th.make_canonical(lens)
+    except ValueError:
+        return  # over-subscribed Kraft sum: not a valid table, skip
+    n = int(rng.integers(1, 5000))
+    data = rng.integers(0, nsym, size=n, dtype=np.uint8).tobytes()
+    from tpu_huffman.ops import pallas_encode
+    from tpu_huffman.stream import HuffmanEncoder
+
+    if not pallas_encode.supports(tbl):
+        return
+    got, _ = pallas_encode.encode(data, tbl)
+    want = HuffmanEncoder(tbl).encode(data)
+    assert got == want
