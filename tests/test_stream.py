@@ -262,3 +262,28 @@ def test_selfsync_capped_matches_unbounded(monkeypatch):
             if not more:
                 break
         assert got == data, cap
+
+
+def test_pack_bulk_matches_scalar_pack():
+    """The MB-chunk Pallas bulk pack (stream._pack_bulk: pipeline pack +
+    carry funnel shift + host EOS pad) must byte-match the single-block
+    kernel path for every carry phase and both pad modes. On TPU the
+    bulk path engages automatically above BULK_ENCODE_THRESHOLD; here we
+    call it directly through the interpreter."""
+    import numpy as np
+
+    from tpu_huffman.stream import HuffmanEncoder
+
+    table = th.load_static_test_table()
+    rng = np.random.default_rng(17)
+    data = rng.integers(0, 256, size=9000, dtype=np.uint8)
+    for carry_len in (0, 1, 7, 13, 31):
+        for pad in (True, False):
+            a = HuffmanEncoder(table)
+            b = HuffmanEncoder(table)
+            carry_pat = int(rng.integers(0, 1 << carry_len)) if carry_len else 0
+            for e in (a, b):
+                e._carry_pattern, e._carry_len = carry_pat, carry_len
+            want = a._pack(data, pad=pad)
+            got = b._pack_bulk(data, pad=pad, min_bytes=None)
+            assert got == want, (carry_len, pad)
