@@ -183,3 +183,13 @@ def test_fused_tiny_and_exact_fit(table):
         words, total_bits, padded_bits = fin(jnp.asarray(data))
         got = bytes_from_words_np(np.asarray(words), (int(padded_bits) + 7) // 8)
         assert got == want
+
+
+def test_int32_bit_budget_guard(table):
+    """One call is bounded at 2^31 output bits (int32 device offsets); a
+    too-large input must raise with guidance instead of silently
+    overflowing (the reference's size_t arithmetic has no such bound,
+    huffman.c:107-129, so the bound must be loud)."""
+    big_n = (1 << 31) // int(table.max_len) + 1
+    with pytest.raises(ValueError, match="2\\^31"):
+        pallas_encode._plan(table, big_n, K=1024)

@@ -176,6 +176,14 @@ def _encode_impl(data, table, eos_padding):
     n = symbols.size
     if n == 0:
         return b""
+    if n * int(table.max_len) >= 1 << 31:
+        # int32 device bit offsets bound one call at 2^31 output bits;
+        # larger streams go through HuffmanEncoder.encode_chunk with an
+        # output capacity (which never inserts mid-stream padding).
+        raise ValueError(
+            f"input of {n} symbols may exceed 2^31 encoded bits; use "
+            "HuffmanEncoder.encode_chunk with a capacity"
+        )
     if _pallas_fast_path(table):
         from . import pallas_encode
 

@@ -110,14 +110,16 @@ def range_monotone_structure(table: HuffmanTable) -> RangeMonotone | None:
     return RangeMonotone(intervals=tuple(intervals), perm=perm)
 
 
-_STRUCT_CACHE: dict[int, RangeMonotone | None] = {}
-
-
 def structure_for(table: HuffmanTable) -> RangeMonotone | None:
-    key = id(table)
-    if key not in _STRUCT_CACHE:
-        _STRUCT_CACHE[key] = range_monotone_structure(table)
-    return _STRUCT_CACHE[key]
+    # Cached on the table object itself (object.__setattr__ pierces the
+    # frozen dataclass): an id()-keyed module dict can alias a new table
+    # at a recycled address after the original is collected.
+    try:
+        return table._rm_struct
+    except AttributeError:
+        struct = range_monotone_structure(table)
+        object.__setattr__(table, "_rm_struct", struct)
+        return struct
 
 
 @dataclasses.dataclass(frozen=True)
@@ -171,14 +173,13 @@ def predecessor_structure(table: HuffmanTable) -> Predecessor:
     )
 
 
-_PRED_CACHE: dict[int, Predecessor] = {}
-
-
 def predecessor_structure_for(table: HuffmanTable) -> Predecessor:
-    key = id(table)
-    if key not in _PRED_CACHE:
-        _PRED_CACHE[key] = predecessor_structure(table)
-    return _PRED_CACHE[key]
+    try:
+        return table._pred_struct
+    except AttributeError:
+        struct = predecessor_structure(table)
+        object.__setattr__(table, "_pred_struct", struct)
+        return struct
 
 
 def decode_dispatch(table: HuffmanTable) -> tuple:

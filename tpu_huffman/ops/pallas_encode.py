@@ -691,6 +691,16 @@ def _plan(table: HuffmanTable, n: int, K: int = 32, wb_cap: int | None = None):
     # Direct per-symbol tables (hashable tuples: they key the lru-cached
     # pallas_call): left-aligned pattern and code length, length 0 =
     # unknown symbol (the reference coder contract, huffman.h:34-36).
+    if n * int(table.max_len) >= 1 << 31:
+        # Device bit offsets are int32; a single call is bounded at 2^31
+        # output bits (~256 MiB encoded). The reference's size_t has no
+        # such bound — larger inputs go through the streaming protocol
+        # (HuffmanEncoder.encode_chunk), whose chunks re-enter here.
+        raise ValueError(
+            f"input of {n} symbols may exceed 2^31 encoded bits "
+            f"(max code length {int(table.max_len)}); feed it through "
+            "HuffmanEncoder.encode_chunk in smaller pieces"
+        )
     lengths = table.lengths.astype(np.int64)
     patterns = table.patterns.astype(np.uint64)
     shift = (32 - np.minimum(lengths, 32)).astype(np.uint64)
@@ -841,9 +851,6 @@ def encode_step(table: HuffmanTable, n: int, block_symbols: int = 192,
     return encode_fn, finalize_fn
 
 
-_WB_HINT: dict[int, int] = {}  # id(table) -> adaptive Wb from prior encodes
-
-
 def _run(symbols: np.ndarray, table: HuffmanTable, eos_padding: int):
     """Shared one-shot driver: returns (words_dev, total_bits, padded_bits,
     offs_dev at offset_granularity(table) granularity). Raises
@@ -857,7 +864,10 @@ def _run(symbols: np.ndarray, table: HuffmanTable, eos_padding: int):
 
     n = symbols.size
     K = pack_k(table)
-    for wb_cap in (_WB_HINT.get(id(table)), None):
+    # Adaptive span hint lives ON the table (object.__setattr__ pierces
+    # the frozen dataclass): an id()-keyed dict can alias a recycled
+    # address after the original table is collected.
+    for wb_cap in (getattr(table, "_wb_hint", None), None):
         p32t, lent, min_len, max_len, Wb, G, num_out_words = _plan(
             table, n, K, wb_cap=wb_cap
         )
@@ -894,7 +904,7 @@ def _run(symbols: np.ndarray, table: HuffmanTable, eos_padding: int):
     if blk.size > 1:
         spans = np.diff(blk, append=np.int64(int(total_bits)))
         ms = int(spans.max())
-        _WB_HINT[id(table)] = (ms + ms // 4) // 32 + 4
+        object.__setattr__(table, "_wb_hint", (ms + ms // 4) // 32 + 4)
     return words, total_bits, padded_bits, offs
 
 
