@@ -73,32 +73,19 @@ def english_like_corpus(n: int, seed: int = 7) -> bytes:
     return rng.choice(alphabet, size=n, p=weights).astype(np.uint8).tobytes()
 
 
-def _loop_time(body, k_lo=9, k_hi=65, reps=5):
+# One timing protocol for every bench (min-T loop-slope estimator over a
+# sampling window; see bench._loop_times for the full rationale).
+from bench import _loop_times
+
+# Default sampling window per corpus config. Shorter than bench.py's
+# headline window: the suite runs several configs and the per-config
+# number is already quoted with period-range caveats in BASELINE.md.
+WINDOW_S = 45.0
+
+
+def _loop_time(body, k_lo=9, k_hi=65, window_s=0.0):
     """True per-iteration seconds via in-program loop slope (bench.py)."""
-    import functools
-
-    import jax
-    import jax.numpy as jnp
-
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def run(seed, k):
-        return jax.lax.fori_loop(0, k, body, seed)
-
-    def timed(k):
-        t0 = time.perf_counter()
-        int(run(jnp.uint32(1), k))
-        return time.perf_counter() - t0
-
-    for k in (k_lo, k_hi):
-        int(run(jnp.uint32(1), k))  # compile + warm
-    # Paired slopes (see bench.py): both loop lengths measured back-to-back
-    # per rep so a fast/slow chip period can't mix across the subtraction.
-    best = float("inf")
-    for _ in range(reps):
-        s = (timed(k_hi) - timed(k_lo)) / (k_hi - k_lo)
-        if s > 0:
-            best = min(best, s)
-    return best
+    return _loop_times([body], k_lo=k_lo, k_hi=k_hi, window_s=window_s)[0]
 
 
 def bench_corpus(name, data_np, table, K, reps, emit):
@@ -130,8 +117,6 @@ def bench_corpus(name, data_np, table, K, reps, emit):
         sym = symbols ^ carry.astype(jnp.uint8)
         words, total_bits, padded_bits = encode_fn(sym)
         return carry ^ words.sum(dtype=jnp.uint32) ^ total_bits.astype(jnp.uint32)
-
-    enc_s = _loop_time(enc_body)
 
     ot = oracle.OracleTable(table)
     encoded = oracle.OracleEncoder(ot).encode(data)
@@ -171,7 +156,11 @@ def bench_corpus(name, data_np, table, K, reps, emit):
             ^ bad.astype(jnp.uint32)
         )
 
-    dec_s = _loop_time(dec_body)
+    # Interleaved sampling: encode and decode share the window so both see
+    # the same chip periods (a fast-period encode next to a slow-period
+    # decode would skew the combined number).
+    win = WINDOW_S if jax.default_backend() == "tpu" else 0.0
+    enc_s, dec_s = _loop_times([enc_body, dec_body], k_hi=257, window_s=win)
 
     # clocks stopped: verify
     enc_out = enc_finalize(symbols)
