@@ -29,7 +29,9 @@ inline std::string test_transitive(const Table& t, const uint8_t* data, size_t n
     std::vector<uint8_t> decoded;
     st = decode_all(t, encoded.data(), encoded.size(), &decoded);
     if (st != Status::Ok) return "decode failed";
-    if (decoded.size() != n || std::memcmp(decoded.data(), data, n) != 0)
+    // n == 0 short-circuit: memcmp with a null pointer is UB even for
+    // length 0 (found by UBSan in the round-2 fuzz run).
+    if (decoded.size() != n || (n != 0 && std::memcmp(decoded.data(), data, n) != 0))
         return "round trip mismatch";
     return "";
 }
@@ -69,7 +71,7 @@ inline std::string test_transitive_chunked(const Table& t, const uint8_t* data, 
         if (st == Status::Ok && qlen == 0) break;
         if (st != Status::Ok && st != Status::ShortBuffer) return "unexpected decode status";
     }
-    if (plain.size() != n || std::memcmp(plain.data(), data, n) != 0)
+    if (plain.size() != n || (n != 0 && std::memcmp(plain.data(), data, n) != 0))
         return "chunked round trip mismatch";
     return "";
 }
