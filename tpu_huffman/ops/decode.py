@@ -183,7 +183,7 @@ class BlockIndex:
     """
 
     symbols_per_block: int
-    bit_offsets: np.ndarray  # int32[B]: absolute start bit of each block
+    bit_offsets: np.ndarray  # int64[B]: absolute start bit of each block
     n_symbols: np.ndarray  # int32[B]: symbol count per block
     total_symbols: int
     total_bits: int  # unpadded bit length of the stream
@@ -275,12 +275,21 @@ def decode_indexed(
     raw = bytes(data) if isinstance(data, (bytes, bytearray)) else np.asarray(data, dtype=np.uint8).tobytes()
     if index.total_symbols == 0:
         return b""
+    if index.total_bits >= 1 << 31:
+        # The scan kernel carries absolute int32 bit offsets; past 2^31
+        # bits they would wrap silently. Raise rather than corrupt (the
+        # Pallas path splits offsets into word+phase on host and is good to
+        # 2^36 bits; beyond that, the chunked streaming protocol applies).
+        raise ValueError(
+            "indexed scan decode supports streams < 2^31 bits; use a "
+            "Pallas-supported block size or the chunked streaming protocol"
+        )
     words_np, _ = words_from_bytes_np(raw)
     words = jnp.concatenate([jnp.asarray(words_np), jnp.zeros(2, dtype=jnp.uint32)])
     dt = DeviceTable.for_table(table)
     syms, _ = decode_blocks_kernel(
         words,
-        jnp.asarray(index.bit_offsets, dtype=jnp.int32),
+        jnp.asarray(index.bit_offsets.astype(np.int32)),
         jnp.asarray(index.n_symbols, dtype=jnp.int32),
         dt.l0_bits, dt.l0_val, dt.l1_bits, dt.l1_val,
         root_bits=table.root_bits,

@@ -289,7 +289,7 @@ def encode_with_index(
     )
     n = symbols.size
     if n == 0:
-        return b"", BlockIndex(block_symbols, np.zeros(0, np.int32), np.zeros(0, np.int32), 0, 0)
+        return b"", BlockIndex(block_symbols, np.zeros(0, np.int64), np.zeros(0, np.int32), 0, 0)
     if _pallas_fast_path(table):
         from . import pallas_encode
 
@@ -307,7 +307,7 @@ def encode_with_index(
         n_syms[-1] = n - (n_blocks - 1) * block_symbols
         index = BlockIndex(
             symbols_per_block=block_symbols,
-            bit_offsets=offsets,
+            bit_offsets=offsets.astype(np.int64),
             n_symbols=n_syms,
             total_symbols=n,
             total_bits=total_bits,
@@ -338,7 +338,7 @@ def encode_with_index(
     n_syms[-1] = n - (n_blocks - 1) * block_symbols
     index = BlockIndex(
         symbols_per_block=block_symbols,
-        bit_offsets=np.asarray(offsets)[:n_blocks].astype(np.int32),
+        bit_offsets=np.asarray(offsets)[:n_blocks].astype(np.int64),
         n_symbols=n_syms,
         total_symbols=n,
         total_bits=int(total_bits),

@@ -53,6 +53,38 @@ def _flat_axes(mesh: Mesh) -> tuple[str, ...]:
 # --------------------------------------------------------------- encode ----
 
 
+def _global_phase_base(local_bits, axes):
+    """(phase, word_base) of this shard's exclusive global bit offset.
+
+    TPU jit has no int64 and an int32 cumsum of shard bit totals silently
+    wraps past 2^31 bits (~256 MiB encoded). Each total is split into
+    (hi = bits >> 16, lo = bits & 0xFFFF) int32 halves and the halves are
+    cumsummed independently; offset = csum_hi * 2^16 + csum_lo exactly, so
+      phase     = offset & 31  = csum_lo & 31          (2^16 ≡ 0 mod 32)
+      word_base = offset >> 5  = (csum_hi << 11) + (csum_lo >> 5)
+    with no wrap while word_base < 2^31, i.e. streams up to 2^36 bits
+    (8 GiB). csum_lo < ndev * 2^16 and csum_hi < 2^20 stay far inside
+    int32. Callers guard the 2^36 ceiling host-side.
+
+    Gather innermost axis first so dims stack [a0, a1, ...]; flattening is
+    then majority-ordered like the P((a0, a1, ...)) shard assignment.
+    """
+    totals = local_bits
+    for ax in reversed(axes):
+        totals = jax.lax.all_gather(totals, ax, axis=0)
+    totals = totals.reshape(-1)
+    my_idx = jax.lax.axis_index(axes[0])
+    for ax in axes[1:]:
+        my_idx = my_idx * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
+    csum_hi = jnp.cumsum(totals >> 16)
+    csum_lo = jnp.cumsum(totals & 0xFFFF)
+    pre_hi = csum_hi[my_idx] - (local_bits >> 16)  # exclusive prefix
+    pre_lo = csum_lo[my_idx] - (local_bits & 0xFFFF)
+    phase = pre_lo & 31
+    word_base = (pre_hi << 11) + (pre_lo >> 5)
+    return phase, word_base
+
+
 def _shard_encode_body(symbols, n_valid, patterns, lengths, axes,
                        offs_every: int = 0):
     """Per-shard bit packing; runs under shard_map.
@@ -61,8 +93,9 @@ def _shard_encode_body(symbols, n_valid, patterns, lengths, axes,
     n_valid: int32[1]       valid symbols in this shard
     Returns (words uint32[local_n+2] local bit-packed stream aligned to the
     shard's *global* intra-word phase, bit_total int32[1], word_base int32[1],
-    bad int32[1], global_total int32[1][, global bit offsets of every
-    offs_every-th symbol — device-side, O(local), no host cumsum]).
+    bad int32[1][, LOCAL bit offsets of every offs_every-th symbol —
+    device-side, O(local); the caller adds the shard's int64 global base
+    on host, so block offsets never wrap]).
     """
     n = symbols.shape[0]
     nv = n_valid[0]
@@ -75,25 +108,9 @@ def _shard_encode_body(symbols, n_valid, patterns, lengths, axes,
     ends = jnp.cumsum(lens, dtype=jnp.int32)
     local_bits = ends[-1]
 
-    # Global exclusive prefix of shard bit totals: one all_gather over the
-    # flattened mesh axes, then a cumsum (ordered by mesh position).
-    # Gather innermost axis first so dims stack [a0, a1, ...]; flattening is
-    # then majority-ordered like the P((a0, a1, ...)) shard assignment.
-    totals = local_bits
-    for ax in reversed(axes):
-        totals = jax.lax.all_gather(totals, ax, axis=0)
-    totals = totals.reshape(-1)
-    my_idx = jax.lax.axis_index(axes[0])
-    for ax in axes[1:]:
-        my_idx = my_idx * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
-    csum = jnp.cumsum(totals)
-    offset = csum[my_idx] - local_bits  # exclusive prefix
-    global_total = csum[-1]
-
     # Pack local bits phase-aligned: local bit j sits at global bit offset+j,
     # i.e. at bit (offset%32 + j) of local words starting at word offset//32.
-    phase = offset & 31
-    word_base = offset >> 5
+    phase, word_base = _global_phase_base(local_bits, axes)
     starts = ends - lens + phase
     pats = patterns[symbols].astype(jnp.uint32)
     shift_left = jnp.uint32(32) - lens.astype(jnp.uint32)
@@ -110,10 +127,9 @@ def _shard_encode_body(symbols, n_valid, patterns, lengths, axes,
         local_bits[None],
         word_base[None],
         bad.astype(jnp.int32)[None],
-        global_total[None],
     )
     if offs_every:
-        offs_blk = (ends - lens)[::offs_every][: n // offs_every] + offset
+        offs_blk = (ends - lens)[::offs_every][: n // offs_every]
         outs = outs + (offs_blk,)
     return outs
 
@@ -158,20 +174,9 @@ def _shard_encode_body_pallas(symbols, n_valid, *, K, G, Wb, num_out_words,
         p32t, lent, min_len, max_len, interpret,
     )
 
-    totals = local_bits
-    for ax in reversed(axes):
-        totals = jax.lax.all_gather(totals, ax, axis=0)
-    totals = totals.reshape(-1)
-    my_idx = jax.lax.axis_index(axes[0])
-    for ax in axes[1:]:
-        my_idx = my_idx * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
-    csum = jnp.cumsum(totals)
-    offset = csum[my_idx] - local_bits  # exclusive prefix
-    global_total = csum[-1]
-
     # Funnel the phase-0 local stream to its global intra-word phase.
-    phase = (offset & 31).astype(jnp.uint32)
-    word_base = offset >> 5
+    phase_i, word_base = _global_phase_base(local_bits, axes)
+    phase = phase_i.astype(jnp.uint32)
     ext = jnp.concatenate([words0, jnp.zeros(1, jnp.uint32)])
     prev = jnp.concatenate([jnp.zeros(1, jnp.uint32), words0])
     words = (ext >> phase) | ((prev << (jnp.uint32(31) - phase)) << jnp.uint32(1))
@@ -180,12 +185,11 @@ def _shard_encode_body_pallas(symbols, n_valid, *, K, G, Wb, num_out_words,
         local_bits[None],
         word_base[None],
         bad.astype(jnp.int32)[None],
-        global_total[None],
     )
     if offs_every:
         S = _sub_block(K, min_len, max_len)
         assert offs_every % S == 0
-        offs_blk = offs_sub[:: offs_every // S][: n // offs_every] + offset
+        offs_blk = offs_sub[:: offs_every // S][: n // offs_every]
         outs = outs + (offs_blk,)
     return outs
 
@@ -292,7 +296,7 @@ class MeshCodec:
                 axes=axes,
                 offs_every=offs_every,
             )
-        nouts = 6 if with_offsets else 5
+        nouts = 5 if with_offsets else 4
         fn = jax.jit(
             jax.shard_map(
                 body, mesh=self.mesh, in_specs=(spec, spec),
@@ -314,7 +318,7 @@ class MeshCodec:
         )
         n = symbols.size
         if n == 0:
-            empty = BlockIndex(self.block_symbols, np.zeros(0, np.int32),
+            empty = BlockIndex(self.block_symbols, np.zeros(0, np.int64),
                                np.zeros(0, np.int32), 0, 0)
             return b"", (empty if with_index else None)
 
@@ -329,17 +333,34 @@ class MeshCodec:
             np.maximum(n - per_dev * np.arange(ndev, dtype=np.int64), 0), per_dev
         ).astype(np.int32)
 
+        # Wrap guards (the device offset math is exact to 2^36 bits; local
+        # per-shard cumsums are int32): raise instead of wrapping, matching
+        # the single-chip _plan guard (ops/pallas_encode.py).
+        if per_dev * int(self.table.max_len) >= 1 << 31:
+            raise ValueError(
+                "per-device shard would exceed 2^31 bits encoded; use more "
+                "devices or the chunked streaming protocol"
+            )
+
         use_offs = with_index and self._offsets_ok
         outs = self._encode_sharded_fn(per_dev, use_offs)(
             jnp.asarray(padded), jnp.asarray(n_valid)
         )
-        words, local_bits, word_bases, bad, global_total = outs[:5]
+        words, local_bits, word_bases, bad = outs[:4]
         if bool(jnp.any(bad > 0)):
             lens = self.table.lengths[symbols]
             idx = int(np.flatnonzero(lens == 0)[0])
             raise UnknownSymbolError(index=idx, symbol=int(symbols[idx]))
 
-        total_bits = int(global_total[0])
+        # Host-side int64 view of the shard bit layout (never wraps).
+        totals64 = np.asarray(local_bits).astype(np.int64).reshape(-1)
+        bases64 = np.cumsum(totals64) - totals64
+        total_bits = int(totals64.sum())
+        if total_bits >= 1 << 36:
+            raise ValueError(
+                "encoded stream exceeds 2^36 bits (8 GiB): int32 word "
+                "indices would wrap; use the chunked streaming protocol"
+            )
         num_words = total_bits // 32 + 2
         out_words = _stitch_kernel(
             words.reshape(ndev, -1), word_bases.reshape(-1).astype(jnp.int32),
@@ -358,8 +379,11 @@ class MeshCodec:
         n_blocks = -(-n // self.block_symbols)
         if use_offs:
             # Block offsets straight from the encode pipeline's own prefix
-            # sums (free side output) — host work O(blocks), not O(N).
-            offsets = np.asarray(outs[5]).reshape(-1)[:n_blocks].astype(np.int64)
+            # sums (free side output, LOCAL to each shard) plus the shard's
+            # int64 global base — host work O(blocks), not O(N), and the
+            # absolute offsets never wrap (they are int64 end-to-end).
+            local_offs = np.asarray(outs[4]).astype(np.int64).reshape(ndev, -1)
+            offsets = (local_offs + bases64[:, None]).reshape(-1)[:n_blocks]
         else:
             # Fallback (misaligned block_symbols): host cumsum over lengths.
             lens64 = self.table.lengths[symbols].astype(np.int64)
@@ -371,7 +395,7 @@ class MeshCodec:
         n_sym[-1] = n - (n_blocks - 1) * self.block_symbols
         index = BlockIndex(
             symbols_per_block=self.block_symbols,
-            bit_offsets=offsets.astype(np.int32),
+            bit_offsets=offsets.astype(np.int64),
             n_symbols=n_sym,
             total_symbols=n,
             total_bits=total_bits,
@@ -443,9 +467,14 @@ class MeshCodec:
                 f"({pe.offset_granularity(self.table)}) so the index can "
                 "come from device-side prefix sums (no host O(N) work)"
             )
+        if per_dev * int(self.table.max_len) >= 1 << 31:
+            raise ValueError(
+                "per-device shard would exceed 2^31 bits encoded; use more "
+                "devices or the chunked streaming protocol"
+            )
         use_offs = with_index
         outs = self._encode_sharded_fn(per_dev, use_offs)(arr, nv)
-        words, local_bits, _word_bases, bad, _gt = outs[:5]
+        words, local_bits, _word_bases, bad = outs[:4]
 
         def gather(garr) -> np.ndarray:
             """Global sharded array -> full np array on every process, via
@@ -469,6 +498,11 @@ class MeshCodec:
         totals = gather(local_bits).astype(np.int64).reshape(-1)
         offsets_dev = np.cumsum(totals) - totals
         total_bits = int(totals.sum())
+        if total_bits >= 1 << 36:
+            raise ValueError(
+                "encoded stream exceeds 2^36 bits (8 GiB): int32 word "
+                "indices would wrap; use the chunked streaming protocol"
+            )
 
         # Output assembly: gather only the words each shard actually used
         # (~compressed size), then OR them in at their word bases on host.
@@ -510,10 +544,13 @@ class MeshCodec:
             0,
             bs,
         ).astype(np.int32).reshape(-1)
-        offsets = gather(outs[5]).astype(np.int64).reshape(-1)[:n_blocks]
+        # Local pipeline offsets + each shard's int64 global base: absolute
+        # block offsets are int64 end-to-end and never wrap.
+        local_offs = gather(outs[4]).astype(np.int64).reshape(ndev, -1)
+        offsets = (local_offs + offsets_dev[:, None]).reshape(-1)[:n_blocks]
         index = BlockIndex(
             symbols_per_block=bs,
-            bit_offsets=offsets.astype(np.int32),
+            bit_offsets=offsets.astype(np.int64),
             n_symbols=n_sym,
             total_symbols=n_total,
             total_bits=total_bits,
