@@ -92,3 +92,23 @@ def test_decode_indexed_dispatches_to_pallas(table, monkeypatch):
     enc, idx = th.encode_with_index(data, table, block_symbols=16)
     assert th.decode_indexed(enc, idx, table) == data
     assert called.get("yes")
+
+
+def test_pallas_32bit_code_table():
+    # MAX_CODE_BITS=32 codes are legal (reference: source/huffman.c:10).
+    # In the multi-symbol pair-fetch consume, a 32-bit code's in-window
+    # shift must select the whole lookahead word instead of `wv << 32`
+    # (undefined in XLA). Kraft-complete: 1x1 + 30 descending + 2x32.
+    lens = {0: 1}
+    for i in range(1, 31):
+        lens[i] = i + 1
+    lens[31] = 32
+    lens[32] = 32
+    t = th.make_canonical(lens, name="deep32")
+    assert t.max_len == 32
+    rng = np.random.default_rng(5)
+    # Bias toward the deep symbols so 32-bit codes are dense.
+    data = rng.integers(25, 33, size=257, dtype=np.uint8).tobytes()
+    enc, idx = th.encode_with_index(data, t, block_symbols=8)
+    assert pallas_decode.decode_indexed_pallas(enc, idx, t) == data
+    assert th.decode(enc, t) == data

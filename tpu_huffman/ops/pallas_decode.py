@@ -453,6 +453,20 @@ def _make_pallas_call(intervals, p32_flat, K: int, Wb: int, G: int, interpret: b
     T = tbl_np.shape[0]
     S = _anchor_interval(K, mn, mx)
     nsub = K // S
+    # Multi-symbol window reuse: one fetched window serves M consecutive
+    # symbols, decoded in-window by left-shifting consumed bits — sound
+    # because symbol q's top mx bits are genuine while q*mx <= width - mx
+    # (interval membership and rank use only the code's own top bits, and
+    # the predecessor comparisons are unaffected by garbage below bit
+    # 32 - mx; see fetch32/fetch64). The select tree — the kernel's
+    # dominant cost — runs once per M symbols instead of once per symbol:
+    # static table (mx=10) fetches 3 symbols per 32-bit window, deep
+    # tables (mx<=32) 2 per 64-bit pair fetch.
+    if 32 // mx >= 2:
+        M, PAIR = 32 // mx, False
+    else:
+        M, PAIR = 2, True
+    EXT = 2 if PAIR else 1  # lookahead words past the window
 
     def kernel(win_ref, rel_ref, nsym_ref, tbl_ref, out_ref, end_ref, bad_ref):
         decode_win = make_dec([tbl_ref[t] for t in range(T)])
@@ -462,37 +476,47 @@ def _make_pallas_call(intervals, p32_flat, K: int, Wb: int, G: int, interpret: b
         a = rel >> 5  # entry word, < STAGE_RW
         zero = jnp.zeros((8, 128), jnp.uint32)
         # Entry roll with progressive shrink: after the full roll only
-        # Wb+1 words matter, but intermediate steps must keep the words
+        # Wb+EXT words matter, but intermediate steps must keep the words
         # the remaining shift can still bring into range.
         entry_ks = [k for k in (64, 32, 16, 8, 4, 2, 1) if k < STAGE_RW]
         rem = sum(entry_ks)
         for k in entry_ks:
             rem -= k
             t = (a & k) != 0
-            keep = min(len(w), Wb + 1 + rem)
+            keep = min(len(w), Wb + EXT + rem)
             w = [
                 jnp.where(t, w[j + k] if j + k < len(w) else zero, w[j])
                 for j in range(keep)
             ]
-        w = w[: Wb + 1]
-        while len(w) < Wb + 1:
+        w = w[: Wb + EXT]
+        while len(w) < Wb + EXT:
             w.append(zero)
 
-        def decode_bounded(wl, off, lo, hi):
-            """decode_at with the word index known to lie in [lo, hi]."""
+        def fetch(wl, off, lo, hi):
+            """32-bit (PAIR: 64-bit) MSB-aligned window at bit ``off``, the
+            word index known to lie in [lo, hi]. Returns (wv[, wlo])."""
             widx = off >> 5
             sh = (off & 31).astype(jnp.uint32)
             width = hi - lo + 1
             nb = 1 << max(0, (width - 1).bit_length())
             p0 = [wl[lo + j] for j in range(width)] + [wl[hi]] * (nb - width)
             p1 = [wl[lo + j + 1] for j in range(width)] + [wl[hi + 1]] * (nb - width)
+            p2 = (
+                [wl[lo + j + 2] for j in range(width)] + [wl[hi + 2]] * (nb - width)
+                if PAIR
+                else []
+            )
             d = widx - lo
             for b in range(max(0, (width - 1).bit_length())):
                 t = ((d >> b) & 1) == 1
                 p0 = [jnp.where(t, p0[2 * i + 1], p0[2 * i]) for i in range(len(p0) // 2)]
                 p1 = [jnp.where(t, p1[2 * i + 1], p1[2 * i]) for i in range(len(p1) // 2)]
+                p2 = [jnp.where(t, p2[2 * i + 1], p2[2 * i]) for i in range(len(p2) // 2)]
             wv = (p0[0] << sh) | ((p1[0] >> jnp.uint32(1)) >> (jnp.uint32(31) - sh))
-            return decode_win(wv)
+            if not PAIR:
+                return wv, None
+            wlo = (p1[0] << sh) | ((p2[0] >> jnp.uint32(1)) >> (jnp.uint32(31) - sh))
+            return wv, wlo
 
         ns = nsym_ref[0]
         off = rel & 31
@@ -506,15 +530,19 @@ def _make_pallas_call(intervals, p32_flat, K: int, Wb: int, G: int, interpret: b
         # per-symbol bounded trees on the deep table: 569 vs 391 us per
         # 8 MiB. The serialized extract->decode chain schedules worse than
         # four independent-ish select trees.)
+        wv = zero
+        wlo = zero
         for s in range(nsub):
             for u4 in range(S4):
                 packed = jnp.zeros((8, 128), jnp.uint32)
                 for v in range(4):
                     il = u4 * 4 + v
                     i = s * S + il
-                    lo = (il * mn) >> 5
-                    hi = min((31 + il * mx) >> 5, len(w) - 2)
-                    sym, ln = decode_bounded(w, off, lo, hi)
+                    if il % M == 0:
+                        lo = (il * mn) >> 5
+                        hi = min((31 + il * mx) >> 5, len(w) - 1 - EXT)
+                        wv, wlo = fetch(w, off, lo, hi)
+                    sym, ln = decode_win(wv)
                     active = i < ns
                     # Poison flag: an active symbol with no matching code
                     # means the (trusted) index points into a corrupt
@@ -526,7 +554,32 @@ def _make_pallas_call(intervals, p32_flat, K: int, Wb: int, G: int, interpret: b
                     packed = packed | (
                         jnp.where(active, sym, jnp.uint32(0)) << jnp.uint32(8 * v)
                     )
-                    off = jnp.where(active, off + ln, off)
+                    lnw = jnp.where(active, ln, 0)
+                    if il % M != M - 1:
+                        # In-window consume (skipped on the fetch's last
+                        # symbol; the next iteration re-fetches at off).
+                        lnu = lnw.astype(jnp.uint32)
+                        if PAIR and mx >= 32:
+                            # A 32-bit code makes `wv << 32` (and 31 - lnu)
+                            # out-of-range — undefined in XLA. Clamp the
+                            # shift and select the whole-word case. Only
+                            # tables with a 32-bit code pay the selects.
+                            big = lnu >= 32
+                            sh = jnp.where(big, jnp.uint32(0), lnu)
+                            wv = jnp.where(
+                                big,
+                                wlo,
+                                (wv << sh) | ((wlo >> jnp.uint32(1)) >> (jnp.uint32(31) - sh)),
+                            )
+                            wlo = jnp.where(big, jnp.uint32(0), wlo << sh)
+                        elif PAIR:
+                            wv = (wv << lnu) | (
+                                (wlo >> jnp.uint32(1)) >> (jnp.uint32(31) - lnu)
+                            )
+                            wlo = wlo << lnu
+                        else:
+                            wv = wv << lnu
+                    off = off + lnw
                 out_ref[s * S4 + u4] = packed
             if s < nsub - 1:
                 # Self re-anchor: shift the consumed words off the front so
@@ -534,8 +587,8 @@ def _make_pallas_call(intervals, p32_flat, K: int, Wb: int, G: int, interpret: b
                 # to what the remaining symbols can possibly touch.
                 d = off >> 5
                 # Worst case: entry phase <32 bits + rem*mx code bits + a
-                # 32-bit lookahead window + the select pair's +1 word.
-                need = min(len(w), ((((nsub - 1 - s) * S) * mx + 31) >> 5) + 3)
+                # 32-bit lookahead window + the fetch's +EXT words.
+                need = min(len(w), ((((nsub - 1 - s) * S) * mx + 31) >> 5) + 2 + EXT)
                 rem = sum(roll_ks)
                 for k in roll_ks:
                     rem -= k
