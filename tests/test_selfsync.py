@@ -80,20 +80,22 @@ def test_chunk_resume_mid_stream(table):
 
 
 def test_streaming_decoder_bulk_path(table, monkeypatch):
-    """HuffmanDecoder.decode_chunk rides selfsync for big chunks."""
+    """HuffmanDecoder.decode_chunk rides the device-resident selfsync for
+    big chunks (round 3: the retained stream stays on device; feeds upload
+    only new bytes)."""
     from tpu_huffman import stream as stream_mod
     from tpu_huffman.ops import pallas_decode
 
     monkeypatch.setattr(pallas_decode, "_on_tpu", lambda: True)
     monkeypatch.setattr(stream_mod, "BULK_DECODE_THRESHOLD", 256)
-    orig = selfsync.selfsync_decode_ex
+    orig = selfsync.selfsync_decode_words
     called = {}
 
-    def spy(raw, tab, seg_words=selfsync.SEG_WORDS, start_bit=0):
+    def spy(buf, nbytes, consumed_bit, tab, seg_words=selfsync.SEG_WORDS):
         called["yes"] = True
-        return orig(raw, tab, seg_words=4, start_bit=start_bit)
+        return orig(buf, nbytes, consumed_bit, tab, seg_words=4)
 
-    monkeypatch.setattr(selfsync, "selfsync_decode_ex", spy)
+    monkeypatch.setattr(selfsync, "selfsync_decode_words", spy)
     rng = np.random.default_rng(8)
     data = rng.integers(0, 256, size=3000, dtype=np.uint8).tobytes()
     enc = th.encode(data, table)

@@ -334,6 +334,56 @@ def selfsync_decode_ex(
     return body.tobytes() + bytes(tail), tail_start_bit + pos
 
 
+def _plan_segments(total_bits: int, seg_words: int):
+    """Segment/grid plan for a stream view of ``total_bits`` bits.
+
+    Returns (S, G, Bp, seg_bits, need_words) or None when the stream is too
+    small for the kernel path (caller should host-loop).
+    """
+    seg_bits = seg_words * 32
+    if total_bits <= 0:
+        return None
+    # Small streams: the host bit loop is cheaper than a kernel launch.
+    if total_bits <= 4 * seg_bits:
+        return None
+    # Full segments exclude the stream tail: the last (possibly partial)
+    # segment plus one guard segment are finished on host with exact
+    # termination rules.
+    S_total = -(-total_bits // seg_bits)
+    S = S_total - 1 if total_bits % seg_bits else S_total
+    S -= 1  # guard segment before the tail
+    if S <= 0:
+        return None
+    # Bucket the grid to powers of two (floor 16 on hardware) so chunked
+    # callers with varying stream sizes reuse one compiled pipeline per
+    # bucket (S is traced; padding lanes decode garbage harmlessly).
+    G = -(-S // LANES)
+    G = 1 << (G - 1).bit_length() if G > 1 else 1
+    if not _use_interpret():
+        G = max(G, 16)
+    Bp = G * LANES
+    need_words = Bp * seg_words + seg_words  # one extra segment >= Wb slack
+    return S, G, Bp, seg_bits, need_words
+
+
+def _stage_windows_dev(jwords, Bp: int, seg_words: int):
+    """Device window staging: win[G, Wb, 8, 128] from contiguous words.
+
+    win[s] = words[s*seg_words : s*seg_words + Wb] — a REGULAR reshape plus
+    one relayout transpose, no gather (the indexed decoder must gather
+    per-block rows; regular segmentation is what makes the self-sync path
+    staging-free). ``jwords`` must be zero-padded to ``_plan_segments``'s
+    need_words.
+    """
+    SW = seg_words
+    Wb = SW + SEG_SLACK
+    G = Bp // LANES
+    base = jwords[: Bp * SW].reshape(Bp, SW)
+    nxt = jwords[SW : SW + Bp * SW].reshape(Bp, SW)[:, :SEG_SLACK]
+    win = jnp.concatenate([base, nxt], axis=1)
+    return win.reshape(G, 8, 128, Wb).transpose(0, 3, 1, 2)
+
+
 def _selfsync_segments(raw: bytes, table: HuffmanTable, seg_words: int,
                        start_bit: int):
     """Run the fixpoint kernel over the stream's full segments.
@@ -346,74 +396,71 @@ def _selfsync_segments(raw: bytes, table: HuffmanTable, seg_words: int,
     bit), S, seg_bits, tail_start_bit — absolute resume point for the host
     tail decode).
     """
-    from .pallas_decode import decode_dispatch
-
-    intervals, aux = decode_dispatch(table)
     assert 0 <= start_bit < 8
     if not raw or len(raw) * 8 <= start_bit:
         return None
-    seg_bits = seg_words * 32
     total_bits = len(raw) * 8
-
-    # Small streams: the host bit loop is cheaper than a kernel launch.
-    if total_bits <= 4 * seg_bits:
+    plan = _plan_segments(total_bits, seg_words)
+    if plan is None:
         return None
-
+    S, G, Bp, seg_bits, need_words = plan
     words_np, _ = words_from_bytes_np(raw)
-    # Full segments exclude the stream tail: the last (possibly partial)
-    # segment plus one guard segment are finished on host with exact
-    # termination rules.
-    S_total = -(-total_bits // seg_bits)
-    S = S_total - 1 if total_bits % seg_bits else S_total
-    S -= 1  # guard segment before the tail
-    if S <= 0:
-        return None
-
-    # Bucket the grid to powers of two (floor 16 on hardware) so chunked
-    # callers with varying stream sizes reuse one compiled pipeline per
-    # bucket (S is traced; padding lanes decode garbage harmlessly).
-    interp = _use_interpret()
-    G = -(-S // LANES)
-    G = 1 << (G - 1).bit_length() if G > 1 else 1
-    if not interp:
-        G = max(G, 16)
-    Bp = G * LANES
-    Wb = seg_words + SEG_SLACK
-    need_words = Bp * seg_words + Wb
     padded = np.zeros(need_words, np.uint32)
     padded[: min(words_np.size, need_words)] = words_np[:need_words]
-    # Regular window layout: win[s] = words[s*seg_words : s*seg_words+Wb]
-    strided = np.lib.stride_tricks.as_strided(
-        padded, shape=(Bp, Wb), strides=(4 * seg_words, 4)
+    return _segments_from_words(
+        jnp.asarray(padded), table, seg_words, start_bit, S, G, Bp, seg_bits
     )
-    win = np.ascontiguousarray(strided).reshape(G, 8, 128, Wb).transpose(0, 3, 1, 2)
-    win = np.ascontiguousarray(win)
 
+
+def _segments_from_words(jwords, table: HuffmanTable, seg_words: int,
+                         start_bit: int, S: int, G: int, Bp: int,
+                         seg_bits: int, w0: int = 0,
+                         need_words: int | None = None):
+    """Kernel passes + host post-processing over pre-planned segments.
+
+    ``jwords``: device uint32 words of the stream view (bit 0 = MSB of word
+    0), zero-padded to the plan's need_words. ``start_bit`` may be any
+    value < 32 (device-resident callers resume mid-word; the kernel's entry
+    roll handles it). Return contract matches :func:`_selfsync_segments`.
+
+    One fused device program (staging + fixpoint passes + output reorder)
+    and one batched download: on this rig every dispatch costs 40-80 ms of
+    tunnel floor, so the chunked protocol's wall time is dispatch-count
+    bound, not compute bound.
+    """
+    from .pallas_decode import decode_dispatch
+
+    intervals, aux = decode_dispatch(table)
+    assert 0 <= start_bit < 32
+    interp = _use_interpret()
     min_len = max(int(table.min_len), 1)
     max_syms = (seg_bits + table.max_len) // min_len + 1
     max_syms = -(-max_syms // 4) * 4
+    K4 = -(-max_syms // 4)
+    # Download only ~S rows: the grid pads S up to Bp (pow2 buckets); a
+    # whole-buffer download costs up to 27x the emitted bytes over this
+    # rig's tunnel. S_dl buckets the slice shape to reuse compiles.
+    S_dl = min(Bp, max(16, 1 << (S - 1).bit_length()))
 
-    jwin = jnp.asarray(win)
-    # The while_loop inside stops as soon as entries converge (usually 2-3
-    # passes); Bp+1 is the worst-case bound (degenerates to sequential).
-    out, exits, bad, converged, entries = _selfsync_passes(
-        jwin, S, G, max_syms, Bp + 1, intervals, aux, interp,
-        seg_words, start_bit,
+    if need_words is None:
+        need_words = int(jwords.shape[0]) - w0
+    if jwords.shape[0] < w0 + need_words:
+        jwords = jnp.pad(jwords, (0, w0 + need_words - jwords.shape[0]))
+    outs = _segments_pipeline(
+        jwords, jnp.int32(w0), jnp.int32(start_bit),
+        need_words=need_words, S=S, G=G, seg_words=seg_words, S_dl=S_dl,
+        max_syms=max_syms, intervals=intervals, aux=aux, interpret=interp,
     )
+    syms_rows, entries_np, exits_np, bad_np, converged = jax.device_get(outs)
     if not bool(converged):  # can't happen within S+1 passes, but be safe
         return None
-
-    entries_np = np.asarray(entries)[:S]
-    exits_np = np.asarray(exits)[:S]
-    bad_np = np.asarray(bad)[:S]
-
-    K4 = -(-max_syms // 4)
+    entries_np = entries_np[:S]
+    exits_np = exits_np[:S]
+    bad_np = bad_np[:S]
     syms = (
-        np.ascontiguousarray(
-            np.asarray(out).reshape(G, K4, 8, 128).transpose(0, 2, 3, 1).reshape(Bp, K4)
-        )
+        np.ascontiguousarray(syms_rows)
         .view(np.uint8)
-        .reshape(Bp, 4 * K4)[:S]
+        .reshape(S_dl, 4 * K4)[:S]
     )
     # Per-symbol bit starts: entry + exclusive cumsum of code lengths. The
     # active steps emitted exactly the symbols whose start < SEG_BITS, so
@@ -430,6 +477,213 @@ def _selfsync_segments(raw: bytes, table: HuffmanTable, seg_words: int,
 
     tail_start_bit = S * seg_bits + int(exits_np[-1]) - seg_bits
     return syms, starts, counts, bad_np, S, seg_bits, tail_start_bit
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def _dslice(buf, start, size):
+    return jax.lax.dynamic_slice(buf, (start,), (size,))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "need_words", "S", "G", "seg_words", "S_dl", "max_syms", "intervals",
+        "aux", "interpret",
+    ),
+)
+def _segments_pipeline(buf, w0, start_bit, *, need_words, S, G, seg_words,
+                       S_dl, max_syms, intervals, aux, interpret):
+    """Fused device program: view slice + window staging + fixpoint passes +
+    lane-packed output reorder/slice. Returns (syms_rows u32[S_dl, K4],
+    entries[S_dl], exits[S_dl], bad[S_dl], converged)."""
+    Bp = G * LANES
+    K4 = -(-max_syms // 4)
+    jwords = jax.lax.dynamic_slice(buf, (w0,), (need_words,))
+    jwin = _stage_windows_dev(jwords, Bp, seg_words)
+    # The while_loop inside stops as soon as entries converge (usually 2-3
+    # passes); Bp+1 is the worst-case bound (degenerates to sequential).
+    out, exits, bad, converged, entries = _selfsync_passes(
+        jwin, S, G, max_syms, Bp + 1, intervals, aux, interpret,
+        seg_words, start_bit,
+    )
+    rows = out.reshape(G, K4, 8, 128).transpose(0, 2, 3, 1).reshape(Bp, K4)
+    return (
+        rows[:S_dl],
+        entries[:S_dl],
+        exits[:S_dl],
+        bad[:S_dl],
+        converged,
+    )
+
+
+class _WordsReader:
+    """Host int-value reads over a device word buffer's view frame.
+
+    View frame: bit 0 = MSB of ``buf[w0]``; valid through ``total_bits``.
+    Downloads only the words covering the requested range (the streaming
+    contract: host touches emitted bytes, O(1) scalars, and — near the
+    stream end — the tail bytes).
+    """
+
+    def __init__(self, buf, w0: int, total_bits: int):
+        self.buf, self.w0, self.total_bits = buf, w0, total_bits
+
+    def value(self, from_bit: int, limit_bit: int) -> tuple[int, int]:
+        """(int of view bits [from_bit, min(limit, total)), their count)."""
+        limit_bit = min(limit_bit, self.total_bits)
+        nbits = limit_bit - from_bit
+        if nbits <= 0:
+            return 0, 0
+        a = from_bit >> 5
+        nw = -(-(limit_bit - (a << 5)) // 32)
+        size = max(16, 1 << (nw - 1).bit_length())  # bucket: few compiles
+        buf = self.buf
+        if self.w0 + a + size > buf.shape[0]:
+            buf = jnp.pad(buf, (0, self.w0 + a + size - buf.shape[0]))
+        wds = np.asarray(_dslice(buf, jnp.int32(self.w0 + a), size))[:nw]
+        v = int.from_bytes(wds.astype(">u4").tobytes(), "big")
+        head = from_bit - (a << 5)
+        tot = nw * 32
+        v &= (1 << (tot - head)) - 1
+        v >>= tot - (limit_bit - (a << 5))
+        return v, nbits
+
+
+def selfsync_decode_words(
+    buf,
+    nbytes: int,
+    consumed_bit: int,
+    table: HuffmanTable,
+    seg_words: int = SEG_WORDS,
+) -> tuple[bytes, int]:
+    """Device-resident uncapped decode over a retained word buffer.
+
+    ``buf``: uint32 device words (big-endian bit order, bitpack layout);
+    the valid stream is the first ``nbytes`` bytes and bits past it are
+    zero; everything before ``consumed_bit`` is already consumed. Unlike
+    :func:`selfsync_decode_ex` the stream is never re-uploaded — the only
+    transfers are the decoded symbols (D2H) and the small tail read.
+    Returns (symbols, end_bit) with ``end_bit`` absolute in buf's frame.
+    """
+    w0 = consumed_bit >> 5
+    sb = consumed_bit - (w0 << 5)
+    base = w0 << 5
+    total_bits = nbytes * 8 - base
+    if total_bits <= sb:
+        return b"", consumed_bit
+    reader = _WordsReader(buf, w0, total_bits)
+
+    def host_all():
+        value, nbits = reader.value(sb, total_bits)
+        out, pos = _decode_tail_host(table, value, nbits)
+        return bytes(out), base + sb + pos
+
+    plan = _plan_segments(total_bits, seg_words)
+    if plan is None:
+        return host_all()
+    S, G, Bp, seg_bits, need_words = plan
+    seg = _segments_from_words(
+        buf, table, seg_words, sb, S, G, Bp, seg_bits,
+        w0=w0, need_words=need_words,
+    )
+    if seg is None:  # non-convergence safeguard
+        return host_all()
+    syms, starts, counts, bad_np, S, seg_bits, tail_start_bit = seg
+    if (bad_np != 0).any():
+        raise UnknownSymbolError()
+    mask = np.arange(syms.shape[1])[None, :] < counts[:, None]
+    body = syms[mask]
+    value, nbits = reader.value(tail_start_bit, total_bits)
+    tail, pos = _decode_tail_host(table, value, nbits)
+    return body.tobytes() + bytes(tail), base + tail_start_bit + pos
+
+
+def selfsync_decode_capped_words(
+    buf,
+    nbytes: int,
+    consumed_bit: int,
+    table: HuffmanTable,
+    capacity: int,
+    seg_words: int = SEG_WORDS,
+) -> tuple[bytes, int, bool]:
+    """Device-resident capped decode: at most ``capacity`` symbols.
+
+    The device-resident twin of :func:`selfsync_decode_capped` (same
+    reference check order — UNKNOWN before output-full,
+    source/huffman.c:240-246 before :257 — same O(capacity) prefix bound).
+    The retained stream stays on device across calls; per call the host
+    receives only the emitted symbols plus O(segments) metadata.
+    Returns (symbols, end_bit, more) with ``end_bit`` absolute in buf's
+    frame.
+    """
+    assert capacity >= 0 and 0 <= consumed_bit <= nbytes * 8
+    w0 = consumed_bit >> 5
+    sb = consumed_bit - (w0 << 5)
+    base = w0 << 5
+    total_bits = nbytes * 8 - base
+    if total_bits <= sb:
+        return b"", consumed_bit, False
+    reader = _WordsReader(buf, w0, total_bits)
+
+    def host_capped(from_bit: int, budget: int, limit_bit: int):
+        value, nbits = reader.value(from_bit, limit_bit)
+        out, pos = _decode_tail_host(table, value, nbits, max_syms=budget)
+        state = _next_state(table, value, nbits, pos)
+        if state == "unknown":
+            raise UnknownSymbolError()
+        return bytes(out), from_bit + pos, state == "more"
+
+    # Prefix guaranteed to contain capacity+1 decodable symbols (or the
+    # whole stream) — word granularity here vs the host twin's bytes, both
+    # are >= the need_bits bound so the cap cut is never truncated.
+    need_bits = sb + (capacity + 1) * int(table.max_len) + 64
+    view_words = -(-total_bits // 32)
+    prefix_words = min(view_words, -(-need_bits // 32))
+    full = prefix_words == view_words
+    prefix_bits = total_bits if full else prefix_words * 32
+
+    plan = _plan_segments(prefix_bits, seg_words)
+    seg = None
+    if plan is not None:
+        S, G, Bp, seg_bits, need_words = plan
+        seg = _segments_from_words(
+            buf, table, seg_words, sb, S, G, Bp, seg_bits,
+            w0=w0, need_words=need_words,
+        )
+    if seg is None:
+        out, end, more = host_capped(sb, capacity, prefix_bits)
+        if not more and not full:
+            out, end, more = host_capped(sb, capacity, total_bits)
+        return out, base + end, more
+
+    syms, starts, counts, bad_np, S, seg_bits, tail_start_bit = seg
+    cum = np.cumsum(counts)
+    total_body = int(cum[-1]) if S else 0
+
+    bad_segs = np.flatnonzero(bad_np != 0)
+    if bad_segs.size:
+        s_b = int(bad_segs[0])
+        bad_rel = int(bad_np[s_b]) - 1
+        before_bad = int(cum[s_b - 1]) if s_b else 0
+        before_bad += int((starts[s_b] < bad_rel).sum())
+        if capacity >= before_bad:
+            raise UnknownSymbolError()
+
+    if total_body > capacity:
+        s_c = int(np.searchsorted(cum, capacity, side="right"))
+        within = capacity - (int(cum[s_c - 1]) if s_c else 0)
+        end_bit = s_c * seg_bits + int(starts[s_c, within])
+        mask = np.arange(syms.shape[1])[None, :] < counts[:s_c, None]
+        out = syms[:s_c][mask].tobytes() + syms[s_c, :within].tobytes()
+        return out, base + end_bit, True
+
+    mask = np.arange(syms.shape[1])[None, :] < counts[:, None]
+    body = syms[mask].tobytes()
+    budget = capacity - total_body
+    tail, end, more = host_capped(tail_start_bit, budget, prefix_bits)
+    if not more and not full:
+        tail, end, more = host_capped(tail_start_bit, budget, total_bits)
+    return body + tail, base + end, more
 
 
 def selfsync_decode_capped(
