@@ -18,3 +18,10 @@ if not os.environ.get("TPU_HUFFMAN_TEST_TPU"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+    # Persistent compilation cache: the suite is compile-dominated (every
+    # interpret-mode Pallas tier re-jits per process), so cache XLA
+    # executables across runs. Keyed by jaxlib version + HLO; safe to share.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/tpu_huffman_jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)

@@ -37,6 +37,7 @@ def test_roundtrip_lossless(data):
 
 
 @given(data=st.binary(min_size=1, max_size=256), k=st.sampled_from([4, 8, 16, 32]))
+@pytest.mark.slow
 @FUZZ
 def test_indexed_roundtrip_lossless(data, k):
     enc, idx = th.encode_with_index(data, TABLE, block_symbols=k)
@@ -143,6 +144,7 @@ def test_sparse_table_decode_rejects_or_roundtrips(seed):
 
 @given(seed=st.integers(0, 2**31 - 1))
 @settings(max_examples=8, deadline=None)  # each example compiles a fresh kernel
+@pytest.mark.slow
 def test_random_table_encode_matches_host(seed):
     """Fused-stitch pipeline vs the host bit-packer over RANDOM canonical
     tables and random data (the fused path computes offsets/funnel/barrel

@@ -97,6 +97,7 @@ def test_predecessor_matches_lut_decode(seed):
             assert _pred_scalar(key, w) == t.decode_window(w), (t.name, hex(w))
 
 
+@pytest.mark.slow
 def test_indexed_kernel_roundtrip_nonmonotone(shuffled):
     rng = np.random.default_rng(0)
     data = rng.integers(0, 256, size=700, dtype=np.uint8).tobytes()
@@ -106,6 +107,7 @@ def test_indexed_kernel_roundtrip_nonmonotone(shuffled):
     assert oracle.oracle_encode(data, shuffled) == enc
 
 
+@pytest.mark.slow
 def test_indexed_poison_nonmonotone(shuffled):
     """Corrupt stream under the predecessor decoder raises like the
     reference (source/huffman.c:246)."""
@@ -123,6 +125,7 @@ def test_indexed_poison_nonmonotone(shuffled):
         pd.decode_indexed_pallas(bits.to_bytes(len(enc), "big"), idx, shuffled)
 
 
+@pytest.mark.slow
 def test_selfsync_foreign_stream_nonmonotone(shuffled):
     """Foreign (un-indexed) stream from the oracle encoder decodes on the
     self-sync kernel with the predecessor decoder (tiny segs: interpreter).

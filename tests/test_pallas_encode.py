@@ -24,6 +24,7 @@ def _host_encode(data, table, eos_padding=0xFF):
     return res
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n", [1, 33, 1000, 40000])
 def test_matches_host_encoder_random(table, n):
     rng = np.random.default_rng(n)
@@ -60,6 +61,7 @@ def test_empty(table):
     assert out == b"" and total == 0
 
 
+@pytest.mark.slow
 def test_unknown_symbol_raises():
     tbl = th.tables.make_canonical({i: 5 for i in range(65, 97)})
     with pytest.raises(th.UnknownSymbolError):
@@ -113,6 +115,7 @@ def test_fused_stitch_multi_grid_carry(table):
     assert got == want
 
 
+@pytest.mark.slow
 def test_fused_matches_classic_pipeline(table):
     """Force the classic XLA funnel/barrel/cumsum path (fuse_sw=0 via a
     huge synthetic max_len guard breach is awkward; instead call the
@@ -170,6 +173,7 @@ def test_fused_matches_classic_pipeline(table):
     assert (offs == want_offs).all()
 
 
+@pytest.mark.slow
 def test_fused_tiny_and_exact_fit(table):
     """n < K (single partial block) and n exactly filling all blocks."""
     import jax.numpy as jnp

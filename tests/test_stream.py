@@ -186,6 +186,7 @@ def test_transitive_chunked_input(table, step):
     oracle.transitive_chunked_input(table, ALL_CODES, step)
 
 
+@pytest.mark.slow
 def test_chunked_random_data(table):
     rng = np.random.default_rng(5)
     data = rng.integers(0, 256, size=3000, dtype=np.uint8).tobytes()
@@ -265,6 +266,7 @@ def test_selfsync_capped_matches_unbounded(monkeypatch):
         assert got == data, cap
 
 
+@pytest.mark.slow
 def test_pack_bulk_matches_scalar_pack():
     """The MB-chunk Pallas bulk pack (stream._pack_bulk: pipeline pack +
     carry funnel shift + host EOS pad) must byte-match the single-block
