@@ -125,3 +125,86 @@ def test_decode_dispatches_to_selfsync(table, monkeypatch):
     enc = th.encode(data, table)
     assert th.decode(enc, table) == data
     assert called.get("yes")
+
+
+def test_one_pass_fast_path_engages():
+    """Clean streams resolve via the one-pass + patch stitch (round 3:
+    VERDICT r2 #7) — no fixpoint fallback — and stay bit-exact.
+
+    Uses a Kraft-complete table: self-sync there is a pure codeword walk
+    (no invalid 1-bit steps), fast enough to merge inside the tiny
+    128-bit test segments. The incomplete static table syncs in ~100-250
+    bits and is exercised at production segment size on the TPU rig.
+    """
+    import tpu_huffman.ops.selfsync as ss
+
+    lens = {}
+    sym = 0
+    for length, count in ((2, 2), (4, 4), (6, 8), (7, 16)):
+        for _ in range(count):
+            lens[sym] = length
+            sym += 1
+    t = th.make_canonical(lens, name="complete30")
+    rng = np.random.default_rng(31)
+    data = rng.integers(0, sym, size=2200, dtype=np.uint8).tobytes()
+    enc = th.encode(data, t)
+    calls = {"fast": 0, "none": 0}
+    orig = ss._stitch_fast
+
+    def spy(*a, **k):
+        r = orig(*a, **k)
+        calls["fast" if r is not None else "none"] += 1
+        return r
+
+    ss._stitch_fast = spy
+    try:
+        out = selfsync.selfsync_decode(enc, t, seg_words=4)
+    finally:
+        ss._stitch_fast = orig
+    assert out == data
+    assert calls["fast"] >= 1 and calls["none"] == 0
+
+
+def test_one_pass_repair_round(table):
+    """Failed segments (sync slower than the patch reach) are repaired by
+    the compacted device round, still bit-exact. The static table's
+    ~100-250-bit sync distance vs 128-bit test segments forces repairs
+    (or, when pass 0 never syncs, the fixpoint fallback) — either way the
+    output must match."""
+    import tpu_huffman.ops.selfsync as ss
+
+    rng = np.random.default_rng(33)
+    data = rng.integers(0, 256, size=2200, dtype=np.uint8).tobytes()
+    enc = th.encode(data, table)
+    assert selfsync.selfsync_decode(enc, table, seg_words=4) == data
+    # larger test segments: sync fits, repairs become rare/none
+    assert selfsync.selfsync_decode(enc, table, seg_words=8) == data
+
+
+def test_one_pass_fallback_still_correct(table):
+    """Forcing the stitch to fail must route through the fixpoint loop
+    with identical output."""
+    import tpu_huffman.ops.selfsync as ss
+
+    rng = np.random.default_rng(32)
+    data = rng.integers(0, 256, size=1700, dtype=np.uint8).tobytes()
+    enc = th.encode(data, table)
+    old = ss._stitch_fast
+    ss._stitch_fast = lambda *a, **k: None
+    try:
+        out = selfsync.selfsync_decode(enc, table, seg_words=4)
+    finally:
+        ss._stitch_fast = old
+    assert out == data
+
+
+def test_one_pass_text_corpus_and_chunks(table):
+    """Skewed data + chunked resume ride the fast path bit-exactly."""
+    data = (b"a bird in hand is worth two in the bush. " * 64)[:2048]
+    enc = th.encode(data, table)
+    out1, end1 = selfsync.selfsync_decode_ex(enc[:900], table, seg_words=4)
+    rem = enc[end1 // 8 : 900]
+    out2, _ = selfsync.selfsync_decode_ex(
+        rem + enc[900:], table, seg_words=4, start_bit=end1 % 8
+    )
+    assert out1 + out2 == data

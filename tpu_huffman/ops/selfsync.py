@@ -49,10 +49,18 @@ SEG_SLACK = 2                   # neighbor words so straddling codes resolve
 
 @functools.lru_cache(maxsize=32)
 def _make_selfsync_call(intervals, p32_flat, max_syms: int, G: int, interpret: bool,
-                        seg_words: int = SEG_WORDS):
+                        seg_words: int = SEG_WORDS, emit_offs: bool = False):
     """(intervals, p32_flat) is a pallas_decode.decode_dispatch pair — the
     range-monotone interval form or (None, Predecessor.key) for arbitrary
-    prefix-free tables (same machinery as the indexed kernel)."""
+    prefix-free tables (same machinery as the indexed kernel).
+
+    ``emit_offs`` additionally outputs each symbol's exact segment-relative
+    start offset (u16, two per u32 word) and the LAST invalid-window bit.
+    The one-pass stitch needs both: on Kraft-incomplete tables a
+    wrong-offset chain steps 1 bit at invalid windows, so host cumsum of
+    symbol lengths cannot reconstruct the chain's boundaries, and a
+    first-invalid record alone cannot prove the post-merge tail clean.
+    """
     from .pallas_decode import _window_decode_factory
 
     Wb = seg_words + SEG_SLACK
@@ -60,25 +68,44 @@ def _make_selfsync_call(intervals, p32_flat, max_syms: int, G: int, interpret: b
     tbl_np, make_dec, _mn, mx = _window_decode_factory(intervals, p32_flat)
     T = tbl_np.shape[0]
     A = 16  # self-re-anchor interval (symbols), same trick as pallas_decode
+    # Multi-symbol window reuse (same soundness argument as
+    # pallas_decode._make_pallas_call): one fetched window serves M
+    # consecutive symbols via in-window left shifts — invalid 1-bit steps
+    # only consume LESS, so the (M-1)*mx <= 32-mx genuine-bits bound holds.
+    if 32 // mx >= 2:
+        M, PAIR = 32 // mx, False
+    else:
+        M, PAIR = 2, True
+    EXT = 2 if PAIR else 1
 
-    def kernel(win_ref, entry_ref, tbl_ref, out_ref, exit_ref, bad_ref):
+    def kernel(win_ref, entry_ref, tbl_ref, out_ref, exit_ref, bad_ref,
+               offs_ref=None, blast_ref=None):
         zero = jnp.zeros((8, 128), jnp.uint32)
         decode_win = make_dec([tbl_ref[t] for t in range(T)])
 
-        def decode_bounded(wl, off, lo, hi):
+        def fetch(wl, off, lo, hi):
             widx = off >> 5
             sh = (off & 31).astype(jnp.uint32)
             width = hi - lo + 1
             nb = 1 << max(0, (width - 1).bit_length())
             p0 = [wl[lo + j] for j in range(width)] + [wl[hi]] * (nb - width)
             p1 = [wl[lo + j + 1] for j in range(width)] + [wl[hi + 1]] * (nb - width)
+            p2 = (
+                [wl[lo + j + 2] for j in range(width)] + [wl[hi + 2]] * (nb - width)
+                if PAIR
+                else []
+            )
             d = widx - lo
             for b in range(max(0, (width - 1).bit_length())):
                 t = ((d >> b) & 1) == 1
                 p0 = [jnp.where(t, p0[2 * i + 1], p0[2 * i]) for i in range(len(p0) // 2)]
                 p1 = [jnp.where(t, p1[2 * i + 1], p1[2 * i]) for i in range(len(p1) // 2)]
+                p2 = [jnp.where(t, p2[2 * i + 1], p2[2 * i]) for i in range(len(p2) // 2)]
             wv = (p0[0] << sh) | ((p1[0] >> jnp.uint32(1)) >> (jnp.uint32(31) - sh))
-            return decode_win(wv)
+            if not PAIR:
+                return wv, None
+            wlo = (p1[0] << sh) | ((p2[0] >> jnp.uint32(1)) >> (jnp.uint32(31) - sh))
+            return wv, wlo
 
         w = [win_ref[0, j] for j in range(Wb)] + [zero, zero]
         off0 = entry_ref[0]
@@ -95,29 +122,60 @@ def _make_selfsync_call(intervals, p32_flat, max_syms: int, G: int, interpret: b
         base = a
         off = off0 & 31
         bad = jnp.zeros((8, 128), jnp.int32)
+        blast = jnp.zeros((8, 128), jnp.int32)
         seg_end = jnp.int32(seg_words * 32)
         # Post-anchor roll distance: off <= 31 + A*mx (invalid steps only
         # shorten it).
         roll_ks = [k for k in (16, 8, 4, 2, 1) if k <= (31 + A * mx) >> 5]
+        wv = zero
+        wlo = zero
         for s4 in range(K4):
             packed = jnp.zeros((8, 128), jnp.uint32)
+            po = [jnp.zeros((8, 128), jnp.uint32), jnp.zeros((8, 128), jnp.uint32)]
             for u in range(4):
                 i = s4 * 4 + u
                 il = i % A
-                # Window bound: invalid prefixes step 1 bit, so lo stays 0;
-                # hi grows with the local (since-anchor) symbol index.
-                hi = min((31 + il * mx) >> 5, len(w) - 2)
-                sym, ln = decode_bounded(w, off, 0, hi)
+                if i % M == 0:
+                    # Window bound: invalid prefixes step 1 bit, so lo
+                    # stays 0; hi grows with the local (since-anchor)
+                    # symbol index.
+                    hi = min((31 + il * mx) >> 5, len(w) - 1 - EXT)
+                    wv, wlo = fetch(w, off, 0, hi)
+                sym, ln = decode_win(wv)
                 abs_off = off + (base << 5)
                 active = abs_off < seg_end
                 invalid = active & (ln == 0)
                 # poison: remember the first invalid bit offset
                 bad = jnp.where((bad == 0) & invalid, abs_off + 1, bad)
+                if emit_offs:
+                    blast = jnp.where(invalid, abs_off + 1, blast)
+                    po[u >> 1] = po[u >> 1] | (
+                        abs_off.astype(jnp.uint32) << jnp.uint32(16 * (u & 1))
+                    )
                 step = jnp.where(invalid, 1, ln)
                 packed = packed | (
                     jnp.where(active, sym, jnp.uint32(0)) << jnp.uint32(8 * u)
                 )
-                off = jnp.where(active, off + step, off)
+                stepw = jnp.where(active, step, 0)
+                if i % M != M - 1:
+                    su = stepw.astype(jnp.uint32)
+                    if PAIR and mx >= 32:
+                        big = su >= 32
+                        sh_ = jnp.where(big, jnp.uint32(0), su)
+                        wv = jnp.where(
+                            big,
+                            wlo,
+                            (wv << sh_) | ((wlo >> jnp.uint32(1)) >> (jnp.uint32(31) - sh_)),
+                        )
+                        wlo = jnp.where(big, jnp.uint32(0), wlo << sh_)
+                    elif PAIR:
+                        wv = (wv << su) | (
+                            (wlo >> jnp.uint32(1)) >> (jnp.uint32(31) - su)
+                        )
+                        wlo = wlo << su
+                    else:
+                        wv = wv << su
+                off = off + stepw
                 if il == A - 1 and i != max_syms - 1:
                     d = off >> 5
                     for k in roll_ks:
@@ -129,9 +187,33 @@ def _make_selfsync_call(intervals, p32_flat, max_syms: int, G: int, interpret: b
                     base = base + d
                     off = off - (d << 5)
             out_ref[s4] = packed
+            if emit_offs:
+                offs_ref[2 * s4] = po[0]
+                offs_ref[2 * s4 + 1] = po[1]
         exit_ref[0] = off + (base << 5)
         bad_ref[0] = bad
+        if emit_offs:
+            blast_ref[0] = blast
 
+    out_specs = [
+        pl.BlockSpec((K4, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((G * K4, 8, 128), jnp.uint32),
+        jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
+        jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
+    ]
+    if emit_offs:
+        out_specs += [
+            pl.BlockSpec((2 * K4, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((G * 2 * K4, 8, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
+        ]
     grid_spec = pl.GridSpec(
         grid=(G,),
         in_specs=[
@@ -139,20 +221,19 @@ def _make_selfsync_call(intervals, p32_flat, max_syms: int, G: int, interpret: b
             pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((K4, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        out_specs=out_specs,
     )
+    if not emit_offs:
+        body = kernel
+    else:
+        def body(win_ref, entry_ref, tbl_ref, out_ref, exit_ref, bad_ref,
+                 offs_ref, blast_ref):
+            kernel(win_ref, entry_ref, tbl_ref, out_ref, exit_ref, bad_ref,
+                   offs_ref, blast_ref)
     call = pl.pallas_call(
-        kernel,
+        body,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((G * K4, 8, 128), jnp.uint32),
-            jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
-            jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
     )
 
@@ -446,6 +527,51 @@ def _segments_from_words(jwords, table: HuffmanTable, seg_words: int,
         need_words = int(jwords.shape[0]) - w0
     if jwords.shape[0] < w0 + need_words:
         jwords = jnp.pad(jwords, (0, w0 + need_words - jwords.shape[0]))
+
+    # Fast path: one full pass + patch pass; host merge-stitch. Falls back
+    # to the fixpoint loop when a segment doesn't resolve (pathological
+    # self-sync or a poisoned chain, where exact bad-bit semantics matter).
+    fast = jax.device_get(_segments_pipeline_fast(
+        jwords, jnp.int32(w0), jnp.int32(start_bit),
+        need_words=need_words, S=S, G=G, seg_words=seg_words, S_dl=S_dl,
+        max_syms=max_syms, intervals=intervals, aux=aux, interpret=interp,
+    ))
+    def repair_fn(idx: np.ndarray, entries_r: np.ndarray):
+        """Compacted device re-decode of the failed segments.
+
+        Gathers just those segments' windows from the (device) word
+        stream, runs the full-length kernel over ceil(R/LANES) lane
+        groups, and returns (syms u8[R, max_syms], exits i32[R],
+        bad i32[R]). Cost scales with the failure count, not the stream.
+        """
+        R = idx.size
+        Rp = -(-R // LANES) * LANES
+        G_f = Rp // LANES
+        Wb = seg_words + SEG_SLACK
+        rows = idx[:, None].astype(np.int64) * seg_words + np.arange(Wb)[None, :]
+        rows_p = np.zeros((Rp, Wb), np.int64)
+        rows_p[:R] = rows + w0
+        winf = jnp.take(jwords, jnp.asarray(rows_p), mode="clip")
+        winf = winf.reshape(G_f, 8, 128, Wb).transpose(0, 3, 1, 2)
+        call = _make_selfsync_call(intervals, aux, max_syms, G_f, interp, seg_words)
+        ent = np.zeros(Rp, np.int32)
+        ent[:R] = entries_r
+        out, exits, bad = call(winf, jnp.asarray(ent).reshape(G_f, 8, 128))
+        rows_out = (
+            out.reshape(G_f, K4, 8, 128).transpose(0, 2, 3, 1).reshape(Rp, K4)
+        )
+        syms_r, exits_np, bad_np = jax.device_get(
+            (rows_out, exits.reshape(-1), bad.reshape(-1))
+        )
+        syms_r = np.ascontiguousarray(syms_r).view(np.uint8).reshape(Rp, 4 * K4)[:R]
+        return syms_r, exits_np[:R], bad_np[:R]
+
+    stitched = _stitch_fast(
+        table, fast, S, seg_bits, start_bit, max_syms, K4, repair_fn
+    )
+    if stitched is not None:
+        return stitched
+
     outs = _segments_pipeline(
         jwords, jnp.int32(w0), jnp.int32(start_bit),
         need_words=need_words, S=S, G=G, seg_words=seg_words, S_dl=S_dl,
@@ -482,6 +608,195 @@ def _segments_from_words(jwords, table: HuffmanTable, seg_words: int,
 @functools.partial(jax.jit, static_argnames=("size",))
 def _dslice(buf, start, size):
     return jax.lax.dynamic_slice(buf, (start,), (size,))
+
+
+def _stitch_fast(table, fast, S, seg_bits, start_bit, max_syms, K4, repair_fn):
+    """Merge-stitch the (full pass, patch pass) outputs on host.
+
+    Per segment the TRUE symbol chain is: patch symbols from the true
+    entry up to the first boundary shared with the full pass's chain,
+    then the full pass's symbols from that boundary on (self-sync: the
+    chains coincide once they share a boundary — prefix codes decode
+    deterministically forward). Segments that fail to resolve (sync
+    slower than the patch reach) are re-decoded from their true entries
+    by ``repair_fn`` — a compacted device round over just those segments
+    — and validated against pass 0's exits. Only a corrupt stream, an
+    unsynced pass-0 chain, or too many failures return None (the caller
+    then runs the fixpoint loop, which owns exact error semantics).
+    Returns the `_selfsync_segments` tuple or None.
+    """
+    rows0, rowsA, offs0, exits0, exitsA, blast0, badA, entries1 = fast
+    A = PATCH_SYMS
+    syms0 = np.ascontiguousarray(rows0).view(np.uint8).reshape(-1, 4 * K4)[:S]
+    symsA = np.ascontiguousarray(rowsA).view(np.uint8).reshape(-1, A)[:S]
+    exits0 = exits0[:S].astype(np.int64)
+    exitsA = exitsA[:S].astype(np.int64)
+    blast0 = blast0[:S].astype(np.int64)
+    badA = badA[:S]
+    e1 = entries1[:S].astype(np.int64)
+
+    # EXACT pass-0 chain boundaries from the kernel (u16 pairs): host
+    # cumsum of symbol lengths would diverge at invalid 1-bit steps,
+    # which Kraft-incomplete tables (like the reference's static test
+    # table, Kraft sum 0.76) hit routinely on wrong-offset prefixes.
+    starts0 = (
+        np.ascontiguousarray(offs0)
+        .view(np.uint16)
+        .reshape(-1, 4 * K4)[:S, :max_syms]
+        .astype(np.int64)
+    )
+    count0 = (starts0 < seg_bits).sum(axis=1)
+    lensA = table.lengths[symsA].astype(np.int64)
+    pA = np.cumsum(lensA, axis=1) - lensA + e1[:, None]
+    countA = (pA < seg_bits).sum(axis=1)
+
+    # First patch boundary that is also a pass-0 boundary (per segment).
+    # Row-keyed flat searchsorted: starts0 rows are sorted (lengths are
+    # positive), BIG exceeds any in-segment bit offset.
+    BIG = np.int64(1) << 22
+    rows_key = np.arange(S, dtype=np.int64)[:, None]
+    key0 = (starts0 + rows_key * BIG).ravel()
+    qA = pA + rows_key * BIG
+    pos = np.searchsorted(key0, qA.ravel()).reshape(S, A)
+    val = key0[np.clip(pos, 0, key0.size - 1)]
+    hit = val == qA
+    j_of = pos % max_syms
+    row_of = pos // max_syms
+    hit &= (
+        (row_of == np.arange(S)[:, None])
+        & (j_of < count0[:, None])
+        & (np.arange(A)[None, :] < countA[:, None])
+    )
+    any_hit = hit.any(axis=1)
+    i_s = np.where(any_hit, hit.argmax(axis=1), 0)
+    j_s = np.where(any_hit, j_of[np.arange(S), i_s], 0)
+
+    # Resolution: merged in-segment (with pass 0's LAST invalid window
+    # strictly before the merge point — from the merge on, the pass-0
+    # chain is the true chain), or the patch covered the whole segment
+    # with an exit matching pass 0's (segment s+1's entry was built from
+    # the latter). Unresolved segments get the repair round below.
+    reached_end = countA < A
+    merge_bit = np.where(any_hit, pA[np.arange(S), i_s], 0)
+    tail_clean = (blast0 == 0) | (blast0 - 1 < merge_bit)
+    use_tail = any_hit & tail_clean
+    resolved = (badA == 0) & (use_tail | (reached_end & (exitsA == exits0)))
+    n_failed = int(S - resolved.sum())
+    if n_failed > max(64, S >> 5):
+        return None  # too much repair work: the fixpoint pass is cheaper
+
+    i_eff = np.where(use_tail, i_s, countA)
+    head_mask = np.arange(A)[None, :] < i_eff[:, None]
+    cols0 = np.arange(max_syms)[None, :]
+    tail_mask = (
+        (cols0 >= j_s[:, None]) & (cols0 < count0[:, None]) & use_tail[:, None]
+    )
+    comb_syms = np.concatenate([symsA, syms0], axis=1)
+    comb_starts = np.concatenate([pA, starts0], axis=1)
+    comb_mask = np.concatenate([head_mask, tail_mask], axis=1)
+    counts = i_eff + np.where(use_tail, count0 - j_s, 0)
+
+    W = max_syms + A
+    syms = np.zeros((S, W), np.uint8)
+    starts = np.full((S, W), np.int64(seg_bits) + BIG, np.int64)
+    rr, cc = np.nonzero(comb_mask)
+    rowpos = np.cumsum(comb_mask, axis=1) - 1
+    syms[rr, rowpos[rr, cc]] = comb_syms[rr, cc]
+    starts[rr, rowpos[rr, cc]] = comb_starts[rr, cc]
+
+    # Repair round: re-decode the failed segments — compacted, on device —
+    # from their true entries (e1, which every segment inherits from pass
+    # 0's exits regardless of patch success). The repair validates each
+    # repaired exit against pass 0's: equality proves pass 0's chain was
+    # synced by segment end, so downstream entries (and resolved rows)
+    # were built on true boundaries. A mismatch, or an invalid window on
+    # a repaired (true) chain, falls back to the fixpoint.
+    if n_failed:
+        idx = np.flatnonzero(~resolved)
+        rep = repair_fn(idx, e1[idx].astype(np.int32))
+        rep_syms, rep_exits, rep_bad = rep
+        if (rep_bad != 0).any():
+            return None  # corrupt stream: fixpoint owns exact error bits
+        if not (rep_exits.astype(np.int64) == exits0[idx]).all():
+            return None  # pass-0 chain not synced by segment end
+        lens_r = table.lengths[rep_syms].astype(np.int64)
+        starts_r = (
+            np.cumsum(lens_r, axis=1) - lens_r + e1[idx][:, None]
+        )
+        counts_r = (starts_r < seg_bits).sum(axis=1)
+        m = rep_syms.shape[1]
+        syms[idx, :] = 0
+        syms[idx, :m] = rep_syms
+        starts[idx, :] = np.int64(seg_bits) + BIG
+        starts[idx, :m] = starts_r
+        counts[idx] = counts_r
+
+    tail_start_bit = S * seg_bits + int(exits0[-1]) - seg_bits
+    bad_ret = np.zeros(S, np.int32)
+    return syms, starts, counts, bad_ret, S, seg_bits, tail_start_bit
+
+
+# Patch-pass symbol slots: after one full pass, every segment's TRUE entry
+# offset is known (exit of its predecessor); the patch decodes only the
+# short head from that entry until it merges into the full pass's chain.
+# Self-sync distance on the Kraft-incomplete static table measures
+# ~100-250 bits (invalid windows step 1 bit), so 32 slots (>=160 bits at
+# min_len 5, ~320 at the table's average) resolves ~99% of 1024-bit
+# segments; the rest get a compacted device repair round.
+PATCH_SYMS = 32
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "need_words", "S", "G", "seg_words", "S_dl", "max_syms", "intervals",
+        "aux", "interpret",
+    ),
+)
+def _segments_pipeline_fast(buf, w0, start_bit, *, need_words, S, G,
+                            seg_words, S_dl, max_syms, intervals, aux,
+                            interpret):
+    """One-pass + patch device program (round 3, VERDICT r2 #7).
+
+    The fixpoint needed 2 full passes: pass 0 to self-synchronize (its
+    exits land on the true codeword chain) and pass 1 to re-decode from
+    the now-correct entries. But pass 0's decode of each segment is
+    already the true chain from its merge point onward — only the short
+    head [true_entry, merge_point) is missing. So: one full pass + a
+    PATCH_SYMS-slot patch pass from the true entries; the host stitches
+    patch head + pass-0 tail. Halves device time on every clean stream.
+    Returns (rows0, rowsA, exits0, exitsA, bad0, badA, entries1).
+    """
+    Bp = G * LANES
+    K4 = -(-max_syms // 4)
+    KA4 = PATCH_SYMS // 4
+    jwords = jax.lax.dynamic_slice(buf, (w0,), (need_words,))
+    jwin = _stage_windows_dev(jwords, Bp, seg_words)
+    call_full = _make_selfsync_call(intervals, aux, max_syms, G, interpret,
+                                    seg_words, emit_offs=True)
+    call_patch = _make_selfsync_call(intervals, aux, PATCH_SYMS, G, interpret, seg_words)
+    seg_idx = jnp.arange(Bp, dtype=jnp.int32)
+    e0 = jnp.asarray(start_bit, jnp.int32)
+    entries0 = jnp.where(seg_idx == 0, e0, 0)
+    out0, exits0, bad0, offs0, blast0 = call_full(jwin, entries0.reshape(G, 8, 128))
+    exits0 = exits0.reshape(-1)
+    entries1 = jnp.concatenate([e0[None], exits0[:-1] - seg_words * 32])
+    entries1 = jnp.where(seg_idx < S, entries1, 0)
+    outA, exitsA, badA = call_patch(jwin, entries1.reshape(G, 8, 128))
+
+    def rows(out, k4):
+        return out.reshape(G, k4, 8, 128).transpose(0, 2, 3, 1).reshape(Bp, k4)
+
+    return (
+        rows(out0, K4)[:S_dl],
+        rows(outA, KA4)[:S_dl],
+        rows(offs0, 2 * K4)[:S_dl],
+        exits0[:S_dl],
+        exitsA.reshape(-1)[:S_dl],
+        blast0.reshape(-1)[:S_dl],
+        badA.reshape(-1)[:S_dl],
+        entries1[:S_dl],
+    )
 
 
 @functools.partial(
