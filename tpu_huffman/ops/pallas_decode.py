@@ -419,10 +419,17 @@ def _anchor_interval(K: int, mn: int, mx: int) -> int:
     resets to a <32-bit phase, so every select window is bounded by the
     LOCAL symbol index il < S instead of the block index i < K — the same
     trick as the encode kernel's _sub_block, but data-driven (no extra
-    index metadata). Fixed-length tables keep narrow windows anyway."""
+    index metadata). Fixed-length tables keep narrow windows anyway.
+
+    Deep tables (mx > 16, pair-fetch) re-anchor every 16 symbols: with
+    the multi-symbol fetch the narrower select trees outweigh the extra
+    rolls (round-3 S sweep on the 5-30-bit table at 8 MiB: 512-517 us
+    @S=16 vs 524 @32, 546-561 @64, 562 @8). Shallow variable-length
+    tables keep S=64 (static-table sweep: 32 was a wash)."""
     if K <= 64 or mn == mx:
         return K
-    for s in (64, 32, 16, 8, 4):
+    start = (16, 32, 64) if mx > 16 else (64, 32, 16)
+    for s in start + (8, 4):
         if K % s == 0:
             return s
     return K
