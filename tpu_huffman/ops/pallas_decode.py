@@ -222,20 +222,35 @@ def _interval_decode(w, intervals):
     two. rank < 256 <= 2^26, so computing it mod 2^26 from the truncated
     bias is exact."""
     if len(intervals) < 12:
-        ln = jnp.zeros(w.shape, jnp.int32)
-        rank = jnp.zeros(w.shape, jnp.int32)
+        # Tree-summed terms: every interval's membership test and
+        # contribution is independent of the others, so reduce them in a
+        # balanced tree (depth ~3) instead of a serial add chain (depth 6)
+        # — the inter-symbol critical path (this chain -> ln -> consume
+        # shift -> next window) is what the multi-symbol kernel serializes
+        # on.
+        ln_terms = []
+        rank_terms = []
         for (lo, hi, L, sub, bias) in intervals:
             if hi >= 1 << 32:
                 ind = w >= jnp.uint32(lo)
             else:
                 ind = (w >= jnp.uint32(lo)) & (w < jnp.uint32(hi))
-            ln = ln + jnp.where(ind, jnp.int32(L), 0)
-            rank = rank + jnp.where(
+            ln_terms.append(jnp.where(ind, jnp.int32(L), 0))
+            rank_terms.append(jnp.where(
                 ind,
                 (w >> jnp.uint32(sub)).astype(jnp.int32) + jnp.int32(bias),
                 0,
-            )
-        return rank, ln
+            ))
+
+        def tree(ts):
+            while len(ts) > 1:
+                ts = [
+                    ts[2 * i] + ts[2 * i + 1] if 2 * i + 1 < len(ts) else ts[2 * i]
+                    for i in range((len(ts) + 1) // 2)
+                ]
+            return ts[0]
+
+        return tree(rank_terms), tree(ln_terms)
 
     # Contiguous (lo, L, bias) chain; a leading gap (w < lo_0) falls out
     # naturally: ln stays 0.
@@ -248,16 +263,25 @@ def _interval_decode(w, intervals):
         pos = hi
     if pos is not None and pos < (1 << 32):
         chain.append((pos, 0, 0))  # top gap
-    acc = jnp.zeros(w.shape, jnp.uint32)
+    # Tree-summed select-adds: the fired-prefix sum is order-independent
+    # mod 2^32, so reduce the ~27 deltas in a depth-5 tree instead of a
+    # serial chain — the chain sits on the inter-symbol critical path.
+    terms = []
     prev_p = 0
     for (lo, L, bias) in chain:
         p = (((bias & 0x3FFFFFF) << 6) | L) & 0xFFFFFFFF
         if p != prev_p:
             t = w >= jnp.uint32(lo)
-            acc = acc + jnp.where(
+            terms.append(jnp.where(
                 t, jnp.uint32((p - prev_p) & 0xFFFFFFFF), jnp.uint32(0)
-            )
+            ))
         prev_p = p
+    while len(terms) > 1:
+        terms = [
+            terms[2 * i] + terms[2 * i + 1] if 2 * i + 1 < len(terms) else terms[2 * i]
+            for i in range((len(terms) + 1) // 2)
+        ]
+    acc = terms[0] if terms else jnp.zeros(w.shape, jnp.uint32)
     ln = (acc & jnp.uint32(63)).astype(jnp.int32)
     sh = (jnp.uint32(32) - acc) & jnp.uint32(31)
     rank = (((w >> sh) + (acc >> jnp.uint32(6))) & jnp.uint32(0x3FFFFFF)).astype(jnp.int32)
