@@ -170,15 +170,20 @@ def main():
         return carry ^ words.sum(dtype=jnp.uint32) ^ total_bits.astype(jnp.uint32)
 
     # Host-side stream/index prep for decode timing uses the HOST cumsum
-    # (no transfer of device results before the clocks stop).
+    # (no transfer of device results before the clocks stop). The decode
+    # rides the dual-chain pipeline: a K/2-granular index paired into
+    # K-symbol lanes of two interleaved half-chains (the kernel is
+    # latency-bound on the inter-symbol chain; dual 282 us vs single
+    # 324 us per 8 MiB).
+    Kh = K // 2
     lens64 = table.lengths[data_np].astype(np.int64)
     ends = np.cumsum(lens64)
-    n_blocks = -(-n // K)
-    starts_idx = np.arange(n_blocks) * K
+    n_blocks = -(-n // Kh)
+    starts_idx = np.arange(n_blocks) * Kh
     offsets = np.zeros(n_blocks, dtype=np.int64)
     offsets[1:] = ends[starts_idx[1:] - 1]
-    n_sym = np.full(n_blocks, K, dtype=np.int32)
-    n_sym[-1] = n - (n_blocks - 1) * K
+    n_sym = np.full(n_blocks, Kh, dtype=np.int32)
+    n_sym[-1] = n - (n_blocks - 1) * Kh
 
     # Reconstruct the encoded words on host via the C++ oracle (bit-exact)
     # so decode timing is independent of the encode output transfer.
@@ -189,22 +194,18 @@ def main():
     words_np, _ = words_from_bytes_np(encoded)
     words_np = np.concatenate([words_np, np.zeros(2, np.uint32)])
 
-    B = n_blocks
-    G = -(-B // LANES)
-    Bp = G * LANES
-    from tpu_huffman.ops.decode import BlockIndex
-    from tpu_huffman.ops.pallas_decode import plan_wb
-
-    Wb = plan_wb(
-        BlockIndex(K, offsets.astype(np.int64), n_sym, n, int(ends[-1])), table
+    from tpu_huffman.ops.pallas_decode import (
+        _decode_pipeline_dual,
+        pair_dual_inputs,
     )
-    base = np.zeros(Bp, np.int32)
-    rel = np.zeros(Bp, np.int32)
-    nsym_arr = np.zeros(Bp, np.int32)
-    base[:B] = offsets >> 5
-    rel[:B] = offsets & 31
-    nsym_arr[:B] = n_sym
-    jw, jb, jr, jn = map(jnp.asarray, (words_np, base, rel, nsym_arr))
+
+    base, rel, relm, nsym_arr, nb, Wb, Wbh, G = pair_dual_inputs(
+        offsets, n_sym, int(ends[-1]), table, Kh
+    )
+    Bp = G * LANES
+    jw, jb, jr, jm, jn = map(
+        jnp.asarray, (words_np, base, rel, relm, nsym_arr)
+    )
     interp = _use_interpret()
 
     def dec_body(i, carry):
@@ -212,8 +213,9 @@ def main():
         # decode of perturbed bits costs the same (the kernel has no
         # data-dependent control flow).
         w = jw ^ carry
-        out, end, bad = _decode_pipeline(
-            w, jb, jr, jn, K, Wb, G, struct.intervals, p32_flat, interp
+        out, end, bad = _decode_pipeline_dual(
+            w, jb, jr, jm, jn, Kh, Wb, Wbh, G, struct.intervals, p32_flat,
+            interp,
         )
         return (
             carry
@@ -233,11 +235,13 @@ def main():
     enc_bytes = bytes_from_words_np(np.asarray(out_words), nbytes)
     assert enc_bytes == encoded, "device encode != C++ oracle bytes"
 
-    dec_out = _decode_pipeline(
-        jw, jb, jr, jn, K, Wb, G, struct.intervals, p32_flat, interp
+    dec_out = _decode_pipeline_dual(
+        jw, jb, jr, jm, jn, Kh, Wb, Wbh, G, struct.intervals, p32_flat, interp
     )
     flat = (
-        np.ascontiguousarray(np.asarray(dec_out[0])).view(np.uint8).reshape(Bp, K)[:B]
+        np.ascontiguousarray(np.asarray(dec_out[0]))
+        .view(np.uint8)
+        .reshape(Bp, 2 * Kh)[:nb]
     )
     assert flat.reshape(-1)[:n].tobytes() == data, "device decode mismatch"
 

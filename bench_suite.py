@@ -120,34 +120,35 @@ def bench_corpus(name, data_np, table, K, reps, emit):
 
     ot = oracle.OracleTable(table)
     encoded = oracle.OracleEncoder(ot).encode(data)
+    # Dual-chain decode: a K/2-granular index paired into K-symbol lanes
+    # of two interleaved half-chains (latency-bound kernel).
+    Kh = K // 2
     lens64 = table.lengths[data_np].astype(np.int64)
     ends = np.cumsum(lens64)
-    n_blocks = -(-n // K)
+    n_blocks = -(-n // Kh)
     offsets = np.zeros(n_blocks, dtype=np.int64)
-    starts_idx = np.arange(n_blocks) * K
+    starts_idx = np.arange(n_blocks) * Kh
     offsets[1:] = ends[starts_idx[1:] - 1]
-    n_sym = np.full(n_blocks, K, dtype=np.int32)
-    n_sym[-1] = n - (n_blocks - 1) * K
+    n_sym = np.full(n_blocks, Kh, dtype=np.int32)
+    n_sym[-1] = n - (n_blocks - 1) * Kh
 
     words_np, _ = words_from_bytes_np(encoded)
     words_np = np.concatenate([words_np, np.zeros(2, np.uint32)])
-    B = n_blocks
-    G = -(-B // LANES)
+    from tpu_huffman.ops.pallas_decode import (
+        _decode_pipeline_dual, pair_dual_inputs,
+    )
+    base, rel, relm, nsm, nbp, Wb, Wbh, G = pair_dual_inputs(
+        offsets, n_sym, int(ends[-1]), table, Kh
+    )
     Bp = G * LANES
-    from tpu_huffman.ops.pallas_decode import plan_wb
-    index = BlockIndex(K, offsets.astype(np.int64), n_sym, n, int(ends[-1]))
-    Wb = plan_wb(index, table)
-    base = np.zeros(Bp, np.int32); rel = np.zeros(Bp, np.int32); nsm = np.zeros(Bp, np.int32)
-    base[:B] = offsets >> 5
-    rel[:B] = offsets & 31
-    nsm[:B] = n_sym
-    jw, jb, jr, jn = map(jnp.asarray, (words_np, base, rel, nsm))
+    jw, jb, jr, jm, jn = map(jnp.asarray, (words_np, base, rel, relm, nsm))
     interp = _use_interpret()
 
     def dec_body(i, carry):
         w = jw ^ carry
-        out, end, bad = _decode_pipeline(
-            w, jb, jr, jn, K, Wb, G, struct.intervals, p32_flat, interp
+        out, end, bad = _decode_pipeline_dual(
+            w, jb, jr, jm, jn, Kh, Wb, Wbh, G, struct.intervals, p32_flat,
+            interp,
         )
         return (
             carry
@@ -164,13 +165,17 @@ def bench_corpus(name, data_np, table, K, reps, emit):
 
     # clocks stopped: verify
     enc_out = enc_finalize(symbols)
-    dec_out = _decode_pipeline(
-        jw, jb, jr, jn, K, Wb, G, struct.intervals, p32_flat, interp
+    dec_out = _decode_pipeline_dual(
+        jw, jb, jr, jm, jn, Kh, Wb, Wbh, G, struct.intervals, p32_flat, interp
     )
     d_padded = enc_out[2]
     enc_bytes = bytes_from_words_np(np.asarray(enc_out[0]), int(d_padded) // 8)
     assert enc_bytes == encoded, f"{name}: device encode != oracle"
-    flat = np.ascontiguousarray(np.asarray(dec_out[0])).view(np.uint8).reshape(Bp, K)[:B]
+    flat = (
+        np.ascontiguousarray(np.asarray(dec_out[0]))
+        .view(np.uint8)
+        .reshape(Bp, 2 * Kh)[:nbp]
+    )
     assert flat.reshape(-1)[:n].tobytes() == data, f"{name}: decode mismatch"
 
     # oracle baseline on a quarter corpus

@@ -112,3 +112,48 @@ def test_pallas_32bit_code_table():
     enc, idx = th.encode_with_index(data, t, block_symbols=8)
     assert pallas_decode.decode_indexed_pallas(enc, idx, t) == data
     assert th.decode(enc, t) == data
+
+
+@pytest.mark.parametrize("n", [64, 1000, 4096, 4095])
+def test_dual_chain_pairing(table, n):
+    """K<=256 indexes ride the dual-chain kernel (two interleaved halves
+    per lane — the kernel is latency-bound on the inter-symbol chain);
+    output must match the sequential decoder, including odd block counts
+    and partial tails."""
+    rng = np.random.default_rng(n * 7 + 1)
+    data = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+    enc, idx = th.encode_with_index(data, table, block_symbols=16)
+    assert pallas_decode.decode_indexed_pallas(enc, idx, table) == data
+
+
+def test_dual_chain_deep_table():
+    lens = {}
+    sym = 0
+    budget = 1.0
+    for L in range(5, 18):
+        lens[sym] = L
+        budget -= 2.0 ** -L
+        sym += 1
+    import math
+    while budget > 2.0 ** -18 + 1e-12:
+        lens[sym] = max(2, min(18, int(-math.log2(budget)) + 1))
+        budget -= 2.0 ** -lens[sym]
+        sym += 1
+    t = th.make_canonical(lens, name="deep18")
+    rng = np.random.default_rng(9)
+    data = rng.integers(0, sym, size=3000, dtype=np.uint8).tobytes()
+    enc, idx = th.encode_with_index(data, t, block_symbols=16)
+    assert pallas_decode.decode_indexed_pallas(enc, idx, t) == data
+    assert th.decode(enc, t) == data
+
+
+def test_dual_chain_poison_raises(table):
+    rng = np.random.default_rng(4)
+    data = rng.integers(0, 256, size=2000, dtype=np.uint8).tobytes()
+    enc, idx = th.encode_with_index(data, table, block_symbols=16)
+    bad = bytearray(enc)
+    # A 16-byte zero run guarantees some symbol window starts inside it,
+    # and 00000 is an invalid 5-bit prefix in the static table.
+    bad[37:53] = bytes(16)
+    with pytest.raises(th.UnknownSymbolError):
+        pallas_decode.decode_indexed_pallas(bytes(bad), idx, table)

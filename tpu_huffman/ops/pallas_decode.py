@@ -666,6 +666,233 @@ def _make_pallas_call(intervals, p32_flat, K: int, Wb: int, G: int, interpret: b
     return run
 
 
+@functools.lru_cache(maxsize=64)
+def _make_pallas_call_dual(intervals, p32_flat, Kh: int, Wb: int, Wbh: int,
+                           G: int, interpret: bool):
+    """Dual-chain variant of :func:`_make_pallas_call`.
+
+    The decode kernel is LATENCY-bound on the inter-symbol dependency
+    (decode_win -> ln -> consume shift -> next window): a constant-step
+    probe ran 254 us vs 324 us on the 8 MiB static pipeline. Each lane
+    therefore decodes TWO independent symbol chains — the two halves of a
+    2*Kh-symbol block, whose mid-offset comes free from the encoder's
+    sub-block index — interleaved at the op level so the scheduler
+    overlaps their latency chains.
+
+    Inputs per lane: rel (half 0's entry bit within the staged rows),
+    relm (half 1's entry bit, same rows), nsym (valid symbols in the
+    PAIR). Output tiles: half 0's Kh symbols then half 1's — block order.
+    ``Wb`` sizes the staged rows (pair span); ``Wbh`` bounds each half's
+    live window after its entry roll.
+    """
+    K4h = Kh // 4
+    NR = _rows_for(Wb)
+    NW = NR * STAGE_RW
+    tbl_np, make_dec, mn, mx = _window_decode_factory(intervals, p32_flat)
+    T = tbl_np.shape[0]
+    S = _anchor_interval(Kh, mn, mx)
+    nsub = Kh // S
+    if 32 // mx >= 2:
+        M, PAIR = 32 // mx, False
+    else:
+        M, PAIR = 2, True
+    EXT = 2 if PAIR else 1
+
+    def kernel(win_ref, rel_ref, relm_ref, nsym_ref, tbl_ref, out_ref,
+               end_ref, bad_ref):
+        decode_win = make_dec([tbl_ref[t] for t in range(T)])
+        zero = jnp.zeros((8, 128), jnp.uint32)
+        w0 = [win_ref[0, j] for j in range(NW)]
+
+        def entry(rel, max_shift_ks):
+            a = rel >> 5
+            w = w0
+            rem = sum(max_shift_ks)
+            for k in max_shift_ks:
+                rem -= k
+                t = (a & k) != 0
+                keep = min(len(w), Wbh + EXT + rem)
+                w = [
+                    jnp.where(t, w[j + k] if j + k < len(w) else zero, w[j])
+                    for j in range(keep)
+                ]
+            w = w[: Wbh + EXT]
+            while len(w) < Wbh + EXT:
+                w.append(zero)
+            return w, rel & 31, a
+
+        def fetch(wl, off, lo, hi):
+            widx = off >> 5
+            sh = (off & 31).astype(jnp.uint32)
+            width = hi - lo + 1
+            nb = 1 << max(0, (width - 1).bit_length())
+            p0 = [wl[lo + j] for j in range(width)] + [wl[hi]] * (nb - width)
+            p1 = [wl[lo + j + 1] for j in range(width)] + [wl[hi + 1]] * (nb - width)
+            p2 = (
+                [wl[lo + j + 2] for j in range(width)] + [wl[hi + 2]] * (nb - width)
+                if PAIR
+                else []
+            )
+            d = widx - lo
+            for b in range(max(0, (width - 1).bit_length())):
+                t = ((d >> b) & 1) == 1
+                p0 = [jnp.where(t, p0[2 * i + 1], p0[2 * i]) for i in range(len(p0) // 2)]
+                p1 = [jnp.where(t, p1[2 * i + 1], p1[2 * i]) for i in range(len(p1) // 2)]
+                p2 = [jnp.where(t, p2[2 * i + 1], p2[2 * i]) for i in range(len(p2) // 2)]
+            wv = (p0[0] << sh) | ((p1[0] >> jnp.uint32(1)) >> (jnp.uint32(31) - sh))
+            if not PAIR:
+                return wv, None
+            wlo = (p1[0] << sh) | ((p2[0] >> jnp.uint32(1)) >> (jnp.uint32(31) - sh))
+            return wv, wlo
+
+        ns = nsym_ref[0]
+        # Half 0's entry sits < STAGE_RW words in; half 1's up to the pair
+        # span further — its roll needs the 128 step too.
+        entry_ks0 = [k for k in (64, 32, 16, 8, 4, 2, 1) if k < STAGE_RW]
+        entry_ksm = [k for k in (256, 128, 64, 32, 16, 8, 4, 2, 1) if k < NW]
+        wA, offA, baseA = entry(rel_ref[0], entry_ks0)
+        wB, offB, baseB = entry(relm_ref[0], entry_ksm)
+        bad = jnp.zeros((8, 128), jnp.bool_)
+        S4 = S // 4
+        roll_ks = [k for k in (64, 32, 16, 8, 4, 2, 1) if k <= (31 + S * mx) >> 5]
+        st = {
+            "A": [wA, offA, baseA, zero, zero],
+            "B": [wB, offB, baseB, zero, zero],
+        }
+        packs = {"A": zero, "B": zero}
+
+        def step(h, il, i, v):
+            w, off, base, wv, wlo = st[h]
+            if il % M == 0:
+                lo = (il * mn) >> 5
+                hi = min((31 + il * mx) >> 5, len(w) - 1 - EXT)
+                wv, wlo = fetch(w, off, lo, hi)
+            sym, ln = decode_win(wv)
+            active = i < ns
+            nonlocal_bad = active & (ln == 0)
+            packs[h] = packs[h] | (
+                jnp.where(active, sym, jnp.uint32(0)) << jnp.uint32(8 * v)
+            )
+            lnw = jnp.where(active, ln, 0)
+            if il % M != M - 1:
+                lnu = lnw.astype(jnp.uint32)
+                if PAIR and mx >= 32:
+                    big = lnu >= 32
+                    sh = jnp.where(big, jnp.uint32(0), lnu)
+                    wv = jnp.where(
+                        big, wlo,
+                        (wv << sh) | ((wlo >> jnp.uint32(1)) >> (jnp.uint32(31) - sh)),
+                    )
+                    wlo = jnp.where(big, jnp.uint32(0), wlo << sh)
+                elif PAIR:
+                    wv = (wv << lnu) | ((wlo >> jnp.uint32(1)) >> (jnp.uint32(31) - lnu))
+                    wlo = wlo << lnu
+                else:
+                    wv = wv << lnu
+            st[h] = [w, off + lnw, base, wv, wlo]
+            return nonlocal_bad
+
+        def anchor(h, s):
+            w, off, base, wv, wlo = st[h]
+            d = off >> 5
+            need = min(len(w), ((((nsub - 1 - s) * S) * mx + 31) >> 5) + 2 + EXT)
+            rem = sum(roll_ks)
+            for k in roll_ks:
+                rem -= k
+                t = (d & k) != 0
+                w = [
+                    jnp.where(t, w[j + k] if j + k < len(w) else zero, w[j])
+                    for j in range(min(len(w), need + rem))
+                ]
+            st[h] = [w, off - (d << 5), base + d, wv, wlo]
+
+        for s in range(nsub):
+            for u4 in range(S4):
+                packs["A"] = zero
+                packs["B"] = zero
+                for v in range(4):
+                    il = u4 * 4 + v
+                    i = s * S + il
+                    bA = step("A", il, i, v)
+                    bB = step("B", il, Kh + i, v)
+                    bad = bad | bA | bB
+                out_ref[s * S4 + u4] = packs["A"]
+                out_ref[K4h + s * S4 + u4] = packs["B"]
+            if s < nsub - 1:
+                anchor("A", s)
+                anchor("B", s)
+        _, offB_f, baseB_f, _, _ = st["B"]
+        end_ref[0] = offB_f + (baseB_f << 5)
+        bad_ref[0] = bad.astype(jnp.int32)
+
+    grid_spec = pl.GridSpec(
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, NW, 8, 128), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((2 * K4h, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((G * 2 * K4h, 8, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+
+    def run(win, rel, relm, nsym):
+        return call(win, rel, relm, nsym, jnp.asarray(tbl_np))
+
+    return run
+
+
+@functools.partial(jax.jit, static_argnames=("Kh", "Wb", "Wbh", "G", "intervals", "p32_flat", "interpret"))
+def _decode_pipeline_dual(words, base, rel, relm, nsym, Kh, Wb, Wbh, G,
+                          intervals, p32_flat, interpret):
+    """Pair-staged pipeline driving the dual-chain kernel.
+
+    Lanes are PAIRS of Kh-symbol blocks sharing one staged row window.
+    base/rel locate half 0, relm half 1 (bit offset in the same rows),
+    nsym counts the pair's valid symbols. Staging volume and index count
+    match the single-chain pipeline at block size 2*Kh.
+    """
+    NR = _rows_for(Wb)
+    RW = STAGE_RW
+    Sp = -(-words.shape[0] // RW) + NR
+    spans = jnp.pad(words, (0, Sp * RW - words.shape[0])).reshape(Sp, RW)
+    r = base // RW
+    rel2 = ((base % RW) << 5) + rel
+    relm2 = ((base % RW) << 5) + relm
+    win = jnp.concatenate(
+        [
+            spans.at[r + t].get(mode="clip", indices_are_sorted=True)
+            for t in range(NR)
+        ],
+        axis=1,
+    )
+    win = win.reshape(G, 8, 128, NR * RW).transpose(0, 3, 1, 2)
+    out, end, bad = _make_pallas_call_dual(
+        intervals, p32_flat, Kh, Wb, Wbh, G, interpret
+    )(
+        win, rel2.reshape(G, 8, 128), relm2.reshape(G, 8, 128),
+        nsym.reshape(G, 8, 128),
+    )
+    K4 = 2 * (Kh // 4)
+    out = out.reshape(G, K4, 8, 128).transpose(0, 2, 3, 1).reshape(G * LANES, K4)
+    return out, end, jnp.any(bad > 0)
+
+
 def _on_tpu() -> bool:
     """Dispatch seam: True when the real kernel (not the interpreter) runs.
     Kept separate from _use_interpret so tests can force the dispatch path
@@ -756,6 +983,54 @@ def supports(table: HuffmanTable, symbols_per_block: int) -> bool:
     )
 
 
+def pair_dual_inputs(off64, n_symbols, total_bits: int, table: HuffmanTable,
+                     Kh: int):
+    """Pair a Kh-granular index into dual-chain pipeline inputs.
+
+    Returns (base i32[Bp], rel, relm, nsym, nb, Wb, Wbh, G): per-PAIR word
+    base, both halves' entry bits, pair symbol counts, the real pair
+    count, and the window plans (pair span for the staged rows, half span
+    for each chain's live window). Blocks must be uniform except the tail.
+    """
+    B = off64.size
+    P = B // 2
+    has_tail = B % 2 == 1
+    G = -(-(P + (1 if has_tail else 0)) // LANES)
+    Bp = G * LANES
+    off_pairs = off64[0 : 2 * P : 2]
+    off_mid = off64[1 : 2 * P : 2]
+    nsym_pairs = (
+        n_symbols[0 : 2 * P : 2].astype(np.int64)
+        + n_symbols[1 : 2 * P : 2].astype(np.int64)
+    )
+    if has_tail:
+        off_pairs = np.concatenate([off_pairs, off64[-1:]])
+        off_mid = np.concatenate([off_mid, off64[-1:]])
+        nsym_pairs = np.concatenate(
+            [nsym_pairs, n_symbols[-1:].astype(np.int64)]
+        )
+    base = np.zeros(Bp, np.int32)
+    rel = np.zeros(Bp, np.int32)
+    relm = np.zeros(Bp, np.int32)
+    nsym = np.zeros(Bp, np.int32)
+    nb = off_pairs.size
+    base[:nb] = off_pairs >> 5
+    rel[:nb] = off_pairs & 31
+    relm[:nb] = off_mid - ((off_pairs >> 5) << 5)
+    nsym[:nb] = nsym_pairs
+    spans_h = np.diff(off64, append=np.int64(total_bits))
+    max_half = int(spans_h.max()) if spans_h.size else 0
+    ends = np.concatenate([off64[1:], [np.int64(total_bits)]])
+    pair_span_max = int(
+        (ends[1 : 2 * P : 2] - off64[0 : 2 * P : 2]).max()
+    ) if P else max_half
+    static_wb = (2 * Kh * table.max_len + 31) // 32 + 2
+    Wb = min(static_wb, -(-((pair_span_max + 94) // 32 + 2) // 8) * 8)
+    static_wbh = (Kh * table.max_len + 31) // 32 + 2
+    Wbh = min(static_wbh, -(-((max_half + 94) // 32 + 2) // 8) * 8)
+    return base, rel, relm, nsym, nb, Wb, Wbh, G
+
+
 def decode_indexed_pallas(
     data: bytes | np.ndarray,
     index,
@@ -777,13 +1052,45 @@ def decode_indexed_pallas(
     words_np = np.concatenate([words_np, np.zeros(2, np.uint32)])
 
     B = index.bit_offsets.size
+    off64 = index.bit_offsets.astype(np.int64)
+
+    # Dual-chain pairing: with a fine-grained index (K <= 256) every lane
+    # decodes TWO independent half-chains (latency-bound kernel — see
+    # _make_pallas_call_dual); staging volume and index count match the
+    # single-chain pipeline at block size 2K. Needs uniform full blocks
+    # except the tail (guaranteed by encode_with_index).
+    dual_ok = (
+        K <= 256
+        and B >= 2
+        and (index.n_symbols[:-1] == K).all()
+    )
+    if dual_ok:
+        base, rel, relm, nsym, nb, Wb, Wbh, G = pair_dual_inputs(
+            off64, index.n_symbols, index.total_bits, table, K
+        )
+        Bp = G * LANES
+        out, _end, bad = _decode_pipeline_dual(
+            jnp.asarray(words_np), jnp.asarray(base), jnp.asarray(rel),
+            jnp.asarray(relm), jnp.asarray(nsym),
+            K, Wb, Wbh, G, intervals, aux, _use_interpret(),
+        )
+        if bool(bad):
+            from ..errors import UnknownSymbolError
+
+            raise UnknownSymbolError()
+        flat = (
+            np.ascontiguousarray(np.asarray(out))
+            .view(np.uint8)
+            .reshape(Bp, 2 * K)[:nb]
+        )
+        return flat.reshape(-1)[: index.total_symbols].tobytes()
+
     G = -(-B // LANES)
     Bp = G * LANES
     Wb = plan_wb(index, table)
     base = np.zeros(Bp, np.int32)
     rel = np.zeros(Bp, np.int32)
     nsym = np.zeros(Bp, np.int32)
-    off64 = index.bit_offsets.astype(np.int64)
     base[:B] = off64 >> 5
     rel[:B] = off64 & 31
     nsym[:B] = index.n_symbols

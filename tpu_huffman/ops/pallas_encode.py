@@ -930,12 +930,14 @@ def encode(data, table: HuffmanTable, eos_padding: int = 0xFF):
 
 def index_granularity(table: HuffmanTable) -> int:
     """Default BlockIndex granularity: the multiple of offset_granularity
-    nearest the measured decode sweet spot K=512 (loop-protocol sweep with
-    128-word staging rows: 635 us @128, 411 @256, 383 @384, **334 @512**,
-    387 @1024 on 8 MiB, scripts/prof/prof_true_decode_k.py); supports()
-    caps symbols_per_block at 512."""
+    nearest 256 — the dual-chain decode pipeline pairs 256-entry blocks
+    into 512-symbol lanes of two interleaved half-chains (round-3
+    interleaved A/B at 8 MiB: dual-from-256 282 us vs single-512 324 us;
+    the kernel is latency-bound on the inter-symbol chain). Staging cost
+    matches the round-1 K=512 sweet spot because lanes still cover 512
+    symbols."""
     g = offset_granularity(table)
-    return max(g, min(512, round(512 / g) * g or g))
+    return max(g, min(256, round(256 / g) * g or g))
 
 
 def encode_with_offsets(data, table: HuffmanTable, eos_padding: int = 0xFF,
