@@ -241,110 +241,142 @@ def _make_pack_call(p32t, lent, K: int, Wb: int, G: int,
         w = [zero for _ in range(Wb)]
         off = jnp.zeros((8, 128), jnp.int32)
         bad = jnp.zeros((8, 128), jnp.bool_)
-        for s in range(nsub):
-            # Pack sub-block s into a local window anchored at bit 0: the
-            # per-symbol select-scatter window is bounded by the LOCAL
-            # index il, not the block index, making total pack work
-            # O(K*S*(max-min)/32) instead of O(K^2*(max-min)/32).
-            if nsub == 1:
-                wl, loff, Wl = w, off, Wb
-            else:
-                wl = [zero for _ in range(Ws)]
-                loff = jnp.zeros((8, 128), jnp.int32)
-                Wl = Ws
-            # Pair fusion: when two codes fit one u32 (max_len <= 16), fuse
-            # symbols 2j,2j+1 into one pattern (p0 | p1 >> l0) and run ONE
-            # select-scatter per pair — the window arithmetic is identical
-            # (it depends only on the unit's start bit) so the dominant
-            # window work halves.
-            pair = max_len <= 16
-            step = 2 if pair else 1
-            for u in range(S4):
-                packed = syms_ref[0, s * S4 + u]
-                for v in range(0, 4, step):
-                    il = u * 4 + v
-                    i = s * S + il
-                    sym = (packed >> jnp.uint32(8 * v)) & jnp.uint32(0xFF)
-                    p32, ln = lookup(sym, luts)
-                    active = i < ns
-                    bad = bad | (active & (ln == 0))
-                    p32 = jnp.where(active, p32, jnp.uint32(0))
-                    ln = jnp.where(active, ln, 0)
-                    if pair:
-                        sym1 = (packed >> jnp.uint32(8 * (v + 1))) & jnp.uint32(0xFF)
-                        p1, l1 = lookup(sym1, luts)
-                        active1 = (i + 1) < ns
-                        bad = bad | (active1 & (l1 == 0))
-                        p1 = jnp.where(active1, p1, jnp.uint32(0))
-                        l1 = jnp.where(active1, l1, 0)
-                        p32 = p32 | (p1 >> ln.astype(jnp.uint32))
-                        ln = ln + l1
-                    widx = loff >> 5
-                    sh = (loff & 31).astype(jnp.uint32)
-                    hi = p32 >> sh
-                    lo = (p32 << (jnp.uint32(31) - sh)) << jnp.uint32(1)
-                    # the unit's start bit is within [il*min_len,
-                    # il*max_len] (loff >= il*min_len always, so widx >=
-                    # j_lo and the lo half never lands at j_lo). The
-                    # widx==j compare at word j is reused as the widx==j-1
-                    # test at word j+1.
-                    j_lo = (il * min_len) >> 5
-                    j_hi = min((il * max_len) >> 5, Wl - 1)
-                    j_end = min(j_hi + 1, Wl - 1)
-                    eq_prev = None
-                    for j in range(j_lo, j_end + 1):
-                        eq = (widx == j) if j <= j_hi else None
-                        if eq is not None and eq_prev is not None:
-                            vv = jnp.where(
-                                eq, hi, jnp.where(eq_prev, lo, jnp.uint32(0))
-                            )
-                        elif eq is not None:
-                            vv = jnp.where(eq, hi, jnp.uint32(0))
-                        else:
-                            vv = jnp.where(eq_prev, lo, jnp.uint32(0))
-                        wl[j] = wl[j] | vv
-                        eq_prev = eq
-                    loff = loff + ln
-            bits_ref[s] = loff  # this sub-block's bit count (side output)
-            if nsub == 1:
-                off = loff
-            elif s == 0:
+        # Pair fusion: when two codes fit one u32 (max_len <= 16), fuse
+        # symbols 2j,2j+1 into one pattern (p0 | p1 >> l0) and run ONE
+        # select-scatter per pair — the window arithmetic is identical
+        # (it depends only on the unit's start bit) so the dominant
+        # window work halves.
+        pair = max_len <= 16
+        step = 2 if pair else 1
+
+        def unit(wl, loff, bad, packed, v, i, il, Wl):
+            """Pack one (fused-pair) unit at local offset ``loff`` into
+            ``wl`` (mutated). Returns (bad, new loff)."""
+            sym = (packed >> jnp.uint32(8 * v)) & jnp.uint32(0xFF)
+            p32, ln = lookup(sym, luts)
+            active = i < ns
+            bad = bad | (active & (ln == 0))
+            p32 = jnp.where(active, p32, jnp.uint32(0))
+            ln = jnp.where(active, ln, 0)
+            if pair:
+                sym1 = (packed >> jnp.uint32(8 * (v + 1))) & jnp.uint32(0xFF)
+                p1, l1 = lookup(sym1, luts)
+                active1 = (i + 1) < ns
+                bad = bad | (active1 & (l1 == 0))
+                p1 = jnp.where(active1, p1, jnp.uint32(0))
+                l1 = jnp.where(active1, l1, 0)
+                p32 = p32 | (p1 >> ln.astype(jnp.uint32))
+                ln = ln + l1
+            widx = loff >> 5
+            sh = (loff & 31).astype(jnp.uint32)
+            hi = p32 >> sh
+            lo = (p32 << (jnp.uint32(31) - sh)) << jnp.uint32(1)
+            # the unit's start bit is within [il*min_len,
+            # il*max_len] (loff >= il*min_len always, so widx >=
+            # j_lo and the lo half never lands at j_lo). The
+            # widx==j compare at word j is reused as the widx==j-1
+            # test at word j+1.
+            j_lo = (il * min_len) >> 5
+            j_hi = min((il * max_len) >> 5, Wl - 1)
+            j_end = min(j_hi + 1, Wl - 1)
+            eq_prev = None
+            for j in range(j_lo, j_end + 1):
+                eq = (widx == j) if j <= j_hi else None
+                if eq is not None and eq_prev is not None:
+                    vv = jnp.where(
+                        eq, hi, jnp.where(eq_prev, lo, jnp.uint32(0))
+                    )
+                elif eq is not None:
+                    vv = jnp.where(eq, hi, jnp.uint32(0))
+                else:
+                    vv = jnp.where(eq_prev, lo, jnp.uint32(0))
+                wl[j] = wl[j] | vv
+                eq_prev = eq
+            return bad, loff + ln
+
+        def merge_local(wl, loff, s, w, off):
+            """Merge local window ``wl`` into block buffer ``w`` (mutated)
+            at bit offset ``off``; returns the new block offset."""
+            if s == 0:
                 # off == 0 for every lane at the first sub-block.
                 for t in range(Ws):
                     w[t] = wl[t]
-                off = loff
-            else:
-                # Merge the local window into the block buffer at bit
-                # offset off: bit-level funnel to the phase (off & 31),
-                # then a word-level barrel by d = (off>>5) - j_anchor
-                # (d in [0, maxshift]: off is between s*S*min_len and
-                # s*S*max_len), then fixed-position ORs from j_anchor.
-                rel = (off & 31).astype(jnp.uint32)
-                wlf = []
-                for t in range(Ws + 1):
-                    cur = (wl[t] >> rel) if t < Ws else zero
-                    if t > 0:
-                        cur = cur | (
-                            (wl[t - 1] << (jnp.uint32(31) - rel)) << jnp.uint32(1)
+                return loff
+            # Merge the local window into the block buffer at bit
+            # offset off: bit-level funnel to the phase (off & 31),
+            # then a word-level barrel by d = (off>>5) - j_anchor
+            # (d in [0, maxshift]: off is between s*S*min_len and
+            # s*S*max_len), then fixed-position ORs from j_anchor.
+            rel = (off & 31).astype(jnp.uint32)
+            wlf = []
+            for t in range(Ws + 1):
+                cur = (wl[t] >> rel) if t < Ws else zero
+                if t > 0:
+                    cur = cur | (
+                        (wl[t - 1] << (jnp.uint32(31) - rel)) << jnp.uint32(1)
+                    )
+                wlf.append(cur)
+            j_anchor = (s * S * min_len) >> 5
+            maxshift = ((s * S * max_len) >> 5) - j_anchor
+            width = min(Ws + 1 + maxshift, Wb - j_anchor)
+            buf = wlf + [zero] * max(0, width - (Ws + 1))
+            buf = buf[:width]
+            d = (off >> 5) - j_anchor
+            k = 1 << max(0, maxshift.bit_length() - 1)
+            while k >= 1:
+                sel = (d & k) != 0
+                buf = [
+                    jnp.where(sel, buf[t - k] if t - k >= 0 else zero, buf[t])
+                    for t in range(width)
+                ]
+                k //= 2
+            for t in range(width):
+                w[j_anchor + t] = w[j_anchor + t] | buf[t]
+            return off + loff
+
+        # Pack sub-blocks into local windows anchored at bit 0: the
+        # per-symbol select-scatter window is bounded by the LOCAL index
+        # il, not the block index, making total pack work
+        # O(K*S*(max-min)/32) instead of O(K^2*(max-min)/32). Sub-blocks
+        # are processed in PAIRS with unit ops interleaved. Measured
+        # NEUTRAL (495-498 us vs 491-497 at 8 MiB): unlike the decode
+        # kernel, the pack is throughput-bound — the scheduler already
+        # overlapped adjacent sub-blocks' independent chains across the
+        # old loop's iterations. Kept for the explicit structure.
+        s = 0
+        while s < nsub:
+            if nsub == 1:
+                for u in range(S4):
+                    packed = syms_ref[0, u]
+                    for v in range(0, 4, step):
+                        il = u * 4 + v
+                        bad, off = unit(w, off, bad, packed, v, il, il, Wb)
+                bits_ref[0] = off
+                s += 1
+                continue
+            dual = nsub - s >= 2
+            wlA = [zero for _ in range(Ws)]
+            loffA = jnp.zeros((8, 128), jnp.int32)
+            wlB = [zero for _ in range(Ws)] if dual else None
+            loffB = jnp.zeros((8, 128), jnp.int32) if dual else None
+            for u in range(S4):
+                pkA = syms_ref[0, s * S4 + u]
+                pkB = syms_ref[0, (s + 1) * S4 + u] if dual else None
+                for v in range(0, 4, step):
+                    il = u * 4 + v
+                    bad, loffA = unit(
+                        wlA, loffA, bad, pkA, v, s * S + il, il, Ws
+                    )
+                    if dual:
+                        bad, loffB = unit(
+                            wlB, loffB, bad, pkB, v, (s + 1) * S + il, il, Ws
                         )
-                    wlf.append(cur)
-                j_anchor = (s * S * min_len) >> 5
-                maxshift = ((s * S * max_len) >> 5) - j_anchor
-                width = min(Ws + 1 + maxshift, Wb - j_anchor)
-                buf = wlf + [zero] * max(0, width - (Ws + 1))
-                buf = buf[:width]
-                d = (off >> 5) - j_anchor
-                k = 1 << max(0, maxshift.bit_length() - 1)
-                while k >= 1:
-                    sel = (d & k) != 0
-                    buf = [
-                        jnp.where(sel, buf[t - k] if t - k >= 0 else zero, buf[t])
-                        for t in range(width)
-                    ]
-                    k //= 2
-                for t in range(width):
-                    w[j_anchor + t] = w[j_anchor + t] | buf[t]
-                off = off + loff
+            bits_ref[s] = loffA
+            off = merge_local(wlA, loffA, s, w, off)
+            if dual:
+                bits_ref[s + 1] = loffB
+                off = merge_local(wlB, loffB, s + 1, w, off)
+            s += 2 if dual else 1
         # flags: bit 0 = unknown symbol (reference huffman.c:62-64);
         # bit 1 = block overflowed the Wb-word buffer (only possible when
         # the caller passed a span-adaptive wb_hint below the static
