@@ -197,3 +197,64 @@ def test_int32_bit_budget_guard(table):
     big_n = (1 << 31) // int(table.max_len) + 1
     with pytest.raises(ValueError, match="2\\^31"):
         pallas_encode._plan(table, big_n, K=1024)
+
+
+def test_gather_tail_plan_eligibility(table):
+    """Gather stitch requires every full block to advance >= 1 output row
+    (K*min_len >= 32*SW); below that the scatter tail stays."""
+    dmin, jmax = pallas_encode.gather_tail_plan(1024, 5, 10, 320)
+    assert dmin == 1 and jmax == 3
+    dmin2, _ = pallas_encode.gather_tail_plan(1024, 5, 10, 320, dmin_hint=2)
+    assert dmin2 == 2
+    assert pallas_encode.gather_tail_plan(32, 5, 10, 10) == (0, 0)
+    assert pallas_encode.gather_tail_plan(512, 5, 30, 480) == (0, 0)
+
+
+def test_gather_tail_spill_merge_matches_host(monkeypatch):
+    """Round-4 gather stitch (one sorted row-take instead of scatter
+    passes) incl. the in-kernel spill merge. Narrowing the stitch row to
+    8 words makes K=32 gather-eligible (K*min_len = 256 >= 32*SW), so the
+    real code path runs at interpret-tier cost: canonical 8-10-bit codes
+    span 1-2 output rows per block, producing real cross-row spills and
+    jmax=2 merge cases. Bit-exact vs the host encoder at full, partial,
+    and sub-block sizes. (Cross-GRID-step seams need n > 32Ki symbols —
+    interpret-hostile; covered on TPU by the bench's bit-exactness
+    assert.)"""
+    import jax.numpy as jnp
+
+    from tpu_huffman import tables as T
+    from tpu_huffman.ops.bitpack import bytes_from_words_np
+
+    monkeypatch.setattr(pallas_encode, "STITCH_SW", 8)
+    lens = {s: 8 + (s % 3) for s in range(256)}
+    tbl = T.make_canonical(lens)
+    dmin, jmax = pallas_encode.gather_tail_plan(32, 8, 10, 10)
+    assert dmin == 1 and jmax == 2
+    rng = np.random.default_rng(42)
+    for n in (1, 129, 1000):
+        data = rng.integers(0, 256, size=n, dtype=np.uint8)
+        want = _host_encode(data.tobytes(), tbl)
+        enc, fin = pallas_encode.encode_step(tbl, n, K=32)
+        words, total_bits, padded_bits = fin(jnp.asarray(data))
+        got = bytes_from_words_np(
+            np.asarray(words), (int(padded_bits) + 7) // 8
+        )
+        assert got == want, n
+
+
+def test_gather_tail_dmin_hint_violation_reruns(monkeypatch):
+    """An over-tight dmin hint (learned from other data) must trip the
+    d-check flag and re-run with the static plan, still bit-exact; the
+    hint is then re-learned from the stream's own offsets."""
+    from tpu_huffman import tables as T
+
+    monkeypatch.setattr(pallas_encode, "STITCH_SW", 8)
+    lens = {s: 8 + (s % 3) for s in range(256)}
+    tbl = T.make_canonical(lens)
+    rng = np.random.default_rng(43)
+    data = rng.integers(0, 256, size=700, dtype=np.uint8)
+    want = _host_encode(data.tobytes(), tbl)
+    object.__setattr__(tbl, "_dmin_hint", 99)
+    got, _bits = pallas_encode.encode(data.tobytes(), tbl)
+    assert got == want
+    assert getattr(tbl, "_dmin_hint") < 99

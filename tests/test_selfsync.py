@@ -165,6 +165,7 @@ def test_one_pass_fast_path_engages():
     assert calls["fast"] >= 1 and calls["none"] == 0
 
 
+@pytest.mark.slow
 def test_one_pass_repair_round(table):
     """Failed segments (sync slower than the patch reach) are repaired by
     the compacted device round, still bit-exact. The static table's

@@ -362,6 +362,7 @@ def test_device_remainder_capped_drain_and_state(monkeypatch):
     assert dec2.decode_chunk(b"").data == b""
 
 
+@pytest.mark.slow
 def test_words_capped_matches_host_capped():
     """selfsync_decode_capped_words == selfsync_decode_capped at every
     capacity, including mid-WORD resume (consumed_bit beyond bit 7, which

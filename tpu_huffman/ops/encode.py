@@ -367,13 +367,12 @@ def best_encode_step(table: HuffmanTable, n: int, block_symbols: int = 192,
     from . import pallas_encode
 
     if pallas_encode.supports(table):
-        wb_hint = (
-            pallas_encode.plan_wb_encode(table, sample)
-            if sample is not None
-            else None
-        )
+        wb_hint = dmin_hint = None
+        if sample is not None:
+            wb_hint = pallas_encode.plan_wb_encode(table, sample)
+            dmin_hint = pallas_encode.plan_dmin_encode(table, sample)
         return pallas_encode.encode_step(
-            table, n, block_symbols, wb_hint=wb_hint
+            table, n, block_symbols, wb_hint=wb_hint, dmin_hint=dmin_hint
         )
 
     dt = DeviceTable.for_table(table)

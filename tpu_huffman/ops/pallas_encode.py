@@ -109,10 +109,45 @@ def _sub_block(K: int, min_len: int, max_len: int) -> int:
     return K
 
 
+def gather_tail_plan(K: int, min_len: int, max_len: int, Wb: int,
+                     dmin_hint: int | None = None):
+    """Plan the gather-based stitch tail (round 4).
+
+    The scatter tail costs ~3-4 ns per scattered row plus full
+    read-modify-write passes over the output (measured 262 us of a 498 us
+    8 MiB encode, scripts/prof/prof_r4_tail_variants.py). The inverse
+    formulation reads each OUTPUT row once from its owner block: out row r
+    belongs to block hi(r) = max{b : r0_b <= r} (r0 = offs>>12, the
+    block's first SW-word output row), and its content is the owner's
+    buffer row (r - r0_hi) PROVIDED each block's buffer rows were pre-OR'd
+    in-kernel with the rows of predecessors that reach into them (the
+    spill merge). One small scatter + cumsum gives every row's owner.
+
+    Requires every FULL block to advance the output row cursor by at least
+    dmin >= 1 rows (else a row can have unboundedly many contributors):
+    guaranteed when K*min_len >= 32*SW. ``dmin_hint`` (from a data sample)
+    tightens the merge-case set; the pipeline flags any block violating it
+    and the caller re-runs with the static bound, mirroring wb_hint.
+
+    Returns (dmin_rows, merge_jmax); dmin_rows == 0 means ineligible
+    (callers keep the scatter tail).
+    """
+    SW = STITCH_SW
+    if min_len <= 0 or 128 * K * max_len > 1 << 24:
+        return 0, 0
+    dmin_static = (K * min_len) // (32 * SW)
+    if dmin_static < 1:
+        return 0, 0
+    dmin = max(dmin_static, int(dmin_hint or 0))
+    nrows = -(-(Wb + SW) // SW)
+    return dmin, (nrows - 1) // dmin
+
+
 @functools.lru_cache(maxsize=64)
 def _make_pack_call(p32t, lent, K: int, Wb: int, G: int,
                     min_len: int, max_len: int, interpret: bool,
-                    S: int | None = None, fuse_sw: int = 0):
+                    S: int | None = None, fuse_sw: int = 0,
+                    merge_jmax: int = 0, dmin_rows: int = 0):
     """pallas_call packing K symbols/lane into Wb words, G grid steps.
 
     p32t/lent: 256-tuples of the left-aligned code pattern (u32 as int)
@@ -441,6 +476,47 @@ def _make_pack_call(p32t, lent, K: int, Wb: int, G: int,
                 for t in range(Wtot_f)
             ]
             kk //= 2
+        if merge_jmax:
+            # ---- spill merge (gather tail): OR into this block's rows the
+            # rows of up to merge_jmax PREDECESSOR blocks that reach them.
+            # Block b-j's row u lands in b's local row t = u - D_j where
+            # D_j = r0_b - r0_{b-j} (output-row distance). D_j is per-lane
+            # data; enumerate the statically possible cases
+            # D in [j*dmin_rows, nrows_f-1] and select. Predecessor tiles
+            # come from a lane-roll (block order is sublane*128 + lane, so
+            # b-j = lane-j with a sublane carry at lane < j); the previous
+            # GRID STEP's last blocks are masked here (sublane 0, lane < j)
+            # and patched by the wrapper's tiny seam scatter.
+            lane_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+            subl_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            r0t = offs_t >> jnp.int32(5 + (SWf.bit_length() - 1))
+
+            def prev_j(tile, j, fill):
+                r1 = pltpu.roll(tile, j, 1)
+                r2 = pltpu.roll(r1, 1, 0)
+                v = jnp.where(lane_i < j, r2, r1)
+                return jnp.where((subl_i == 0) & (lane_i < j), fill, v)
+
+            new = list(buf)
+            for j in range(1, merge_jmax + 1):
+                u_min = max(j * dmin_rows, 1)
+                if u_min >= nrows_f:
+                    break
+                # masked lanes get D ~ 2^29: no case fires.
+                D = r0t - prev_j(r0t, j, jnp.int32(-(1 << 29)))
+                rolled = [
+                    [prev_j(buf[u * SWf + w2], j, zero) for w2 in range(SWf)]
+                    for u in range(u_min, nrows_f)
+                ]
+                for Dc in range(u_min, nrows_f):
+                    m = D == Dc
+                    for t in range(nrows_f - Dc):
+                        src_row = rolled[t + Dc - u_min]
+                        for w2 in range(SWf):
+                            new[t * SWf + w2] = new[t * SWf + w2] | jnp.where(
+                                m, src_row[w2], zero
+                            )
+            buf = new
         for t in range(Wtot_f):
             rows_ref[t] = buf[t]
 
@@ -565,7 +641,7 @@ def _pad_code(total_bits, eos_padding):
     jax.jit,
     static_argnames=(
         "K", "G", "Wb", "num_out_words", "p32t", "lent",
-        "min_len", "max_len", "interpret",
+        "min_len", "max_len", "interpret", "gather_dmin", "nb",
     ),
 )
 def _encode_pipeline(
@@ -574,15 +650,18 @@ def _encode_pipeline(
     eos_padding,      # u32 scalar (traced: avoids a recompile per value)
     K, G, Wb, num_out_words,
     p32t, lent, min_len, max_len, interpret,
+    gather_dmin=0,    # static: >0 = gather stitch tail (gather_tail_plan)
+    nb=0,             # static: content blocks (ceil(n/K)); gather tail only
 ):
     """Full fused encode: pack kernel + hierarchical offsets + stitch.
 
     Returns (words u32[num_out_words], total_bits, padded_bits, bad_any
     — any unknown symbol, ovf_any — any block overflowed a span-adaptive
-    Wb (caller re-plans with the static bound), offs_sub i32[B*nsub] —
-    the absolute starting bit of every S-symbol sub-block
-    (S = _sub_block(K, ...)), free from the prefix sum; callers derive
-    coarser decode indexes from it).
+    Wb (caller re-plans with the static bound; with the gather tail this
+    flag also covers a block advancing fewer than gather_dmin output rows),
+    offs_sub i32[B*nsub] — the absolute starting bit of every S-symbol
+    sub-block (S = _sub_block(K, ...)), free from the prefix sum; callers
+    derive coarser decode indexes from it).
     """
     K4 = K // 4
     B = G * LANES
@@ -592,8 +671,15 @@ def _encode_pipeline(
     # Fused stitch (in-kernel offsets + funnel + barrel) whenever the f32
     # MXU row-cumsum envelope holds — the same guard as mxu_inner below.
     fuse_sw = STITCH_SW if (128 * K * max_len <= 1 << 24) else 0
+    if gather_dmin and fuse_sw:
+        nrows_g = -(-(Wb + fuse_sw) // fuse_sw)
+        merge_jmax = (nrows_g - 1) // gather_dmin
+    else:
+        gather_dmin = 0
+        merge_jmax = 0
     out = _make_pack_call(
-        p32t, lent, K, Wb, G, min_len, max_len, interpret, S, fuse_sw
+        p32t, lent, K, Wb, G, min_len, max_len, interpret, S, fuse_sw,
+        merge_jmax, gather_dmin,
     )(staged, nsym.reshape(G, 8, 128))
     if fuse_sw:
         rows, bits, bad, offs_t = out
@@ -689,11 +775,70 @@ def _encode_pipeline(
     # SW-word output row index (offs is a cumsum => sorted, maybe w/ dups).
     r0 = offs >> (5 + SW.bit_length() - 1)
     Wr = num_out_words // SW
-    out2d = jnp.zeros((Wr, SW), dtype=jnp.uint32)
-    for t in range(nrows):
-        out2d = out2d.at[r0 + t].add(
-            buf[:, SW * t : SW * (t + 1)], mode="drop", indices_are_sorted=True
+    if gather_dmin:
+        # ---- gather tail: one sorted row-take instead of nrows scatter
+        # passes (see gather_tail_plan). Owner of out row r is
+        # hi(r) = max{b : r0_b <= r}; with W[r] = sum over those b of
+        # (nrows - d_{b-1}) (d_{b-1} = r0_b - r0_{b-1}), the owner's
+        # buffer row index collapses to src[r] = r + W[r] - nrows.
+        r0c = r0[:nb]
+        d_prev = jnp.concatenate(
+            [jnp.zeros((1,), r0.dtype), r0c[1:] - r0c[:-1]]
         )
+        # every FULL block must advance >= gather_dmin rows or the static
+        # merge-case set in the kernel is too small: flag -> caller re-runs
+        # with the static plan (same protocol as the wb_hint overflow).
+        full = nsym[: nb - 1] >= K if nb > 1 else jnp.zeros((0,), jnp.bool_)
+        ovf_any = ovf_any | jnp.any(full & (d_prev[1:] < gather_dmin))
+        w1 = jnp.zeros((Wr,), jnp.int32).at[r0c].add(
+            (nrows - d_prev).astype(jnp.int32), mode="drop",
+            indices_are_sorted=True, unique_indices=True,
+        )
+        Wexcl, _ = _exclusive_cumsum_blocks(w1, mxu_inner=True)
+        src = (
+            jax.lax.iota(jnp.int32, Wr) + Wexcl + w1 - jnp.int32(nrows)
+        )
+        buf2 = buf.reshape(B * nrows, SW)
+        out2d = buf2.at[src].get(mode="clip", indices_are_sorted=True)
+        # Grid-step seams: the kernel's spill merge cannot see the previous
+        # grid step's blocks (the lane roll stops at the step edge), so for
+        # each step boundary b0 = g*LANES OR in the predecessor's merged
+        # rows u >= d (they hold every contribution from blocks < b0 and
+        # none of b0's own content, so add == OR and nothing double-counts).
+        seams = [g * LANES for g in range(1, G) if g * LANES < nb]
+        if seams and merge_jmax:
+            seam_src = jnp.asarray(
+                np.array(
+                    [
+                        (b0 - 1) * nrows + u
+                        for b0 in seams
+                        for u in range(1, nrows)
+                    ],
+                    np.int32,
+                )
+            )
+            b0_arr = np.array(
+                [b0 for b0 in seams for _ in range(1, nrows)], np.int32
+            )
+            u_arr = jnp.asarray(
+                np.array(
+                    [u for _ in seams for u in range(1, nrows)], np.int32
+                )
+            )
+            d_at = (r0[b0_arr] - r0[b0_arr - 1]).astype(jnp.int32)
+            dst = jnp.where(
+                u_arr >= d_at,
+                r0[b0_arr - 1].astype(jnp.int32) + u_arr,
+                jnp.int32(Wr),
+            )
+            out2d = out2d.at[dst].add(buf2[seam_src], mode="drop")
+    else:
+        out2d = jnp.zeros((Wr, SW), dtype=jnp.uint32)
+        for t in range(nrows):
+            out2d = out2d.at[r0 + t].add(
+                buf[:, SW * t : SW * (t + 1)], mode="drop",
+                indices_are_sorted=True,
+            )
     words = out2d.reshape(num_out_words)
 
     pad_p32, pad_len = _pad_code(total_bits, eos_padding)
@@ -719,7 +864,8 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _plan(table: HuffmanTable, n: int, K: int = 32, wb_cap: int | None = None):
+def _plan(table: HuffmanTable, n: int, K: int = 32, wb_cap: int | None = None,
+          exact_out: bool = False):
     # Direct per-symbol tables (hashable tuples: they key the lru-cached
     # pallas_call): left-aligned pattern and code length, length 0 =
     # unknown symbol (the reference coder contract, huffman.h:34-36).
@@ -755,9 +901,14 @@ def _plan(table: HuffmanTable, n: int, K: int = 32, wb_cap: int | None = None):
     G = -(-B // LANES)
     # Bucket the output length to a power of two (>=128, the stitch's
     # scatter-row width SW) so nearby input sizes share one compilation;
-    # extra words are zero and sliced off.
+    # extra words are zero and sliced off. Fixed-shape seams (encode_step)
+    # pass exact_out=True: they re-trace per n anyway and the tail cost
+    # scales with the output buffer.
     needed = -(-(n * max_len) // 32) + 2
-    num_out_words = max(128, 1 << (needed - 1).bit_length())
+    if exact_out:
+        num_out_words = max(1024, -(-needed // 1024) * 1024)
+    else:
+        num_out_words = max(128, 1 << (needed - 1).bit_length())
     return p32t, lent, min_len, max_len, Wb, G, num_out_words
 
 
@@ -825,9 +976,41 @@ def plan_wb_encode(table: HuffmanTable, sample, K: int | None = None) -> int:
     return (max_span + max_span // 4) // 32 + 4
 
 
+def plan_dmin_encode(table: HuffmanTable, sample, K: int | None = None) -> int:
+    """Sample-derived minimum output-row advance per block (gather tail).
+
+    The gather stitch enumerates spill-merge cases D in [j*dmin, nrows);
+    a larger dmin (real data packs far above the K*min_len worst case)
+    shrinks that set. Derived like plan_wb_encode from the sample's block
+    spans; the pipeline's d-check flag + static re-run keeps other inputs
+    correct. Returns a rows count (>= the static floor; no margin needed —
+    the check is exact and the re-run cheap/rare).
+    """
+    if K is None:
+        K = pack_k(table)
+    arr = (
+        np.frombuffer(bytes(sample), dtype=np.uint8)
+        if isinstance(sample, (bytes, bytearray))
+        else np.asarray(sample, dtype=np.uint8)
+    )
+    lens = table.lengths[arr].astype(np.int64)
+    nb = lens.size // K
+    lens_pos = table.lengths[table.lengths > 0]
+    static = (K * int(lens_pos.min())) // (32 * STITCH_SW) if lens_pos.size else 0
+    if nb < 2:
+        return static
+    ends = np.cumsum(lens[: nb * K].reshape(nb, K).sum(axis=1))
+    r0 = np.concatenate([[0], ends[:-1]]) >> np.int64(
+        5 + STITCH_SW.bit_length() - 1
+    )
+    # exact min over adjacent full blocks: the pipeline's d-check flag
+    # triggers a static re-run if other data packs tighter, so no margin.
+    return max(static, int(np.diff(r0).min()))
+
+
 def encode_step(table: HuffmanTable, n: int, block_symbols: int = 192,
                 eos_padding: int = 0xFF, K: int | None = None,
-                wb_hint: int | None = None):
+                wb_hint: int | None = None, dmin_hint: int | None = None):
     """Bench/entry seam: returns (encode_fn, finalize_fn) for fixed n.
 
     encode_fn(symbols u8[n] on device) -> (words, total_bits, padded_bits),
@@ -836,15 +1019,18 @@ def encode_step(table: HuffmanTable, n: int, block_symbols: int = 192,
     UnknownSymbolError / OverflowError) — used for post-timing
     verification. K=None picks pack_k(table); wb_hint (from
     plan_wb_encode) shrinks the per-block buffers to the sample's real
-    span envelope.
+    span envelope; dmin_hint (plan_dmin_encode) tightens the gather
+    stitch's spill-merge cases.
     """
     from ..errors import UnknownSymbolError
 
     if K is None:
         K = pack_k(table)
     p32t, lent, min_len, max_len, Wb, G, num_out_words = _plan(
-        table, n, K, wb_cap=wb_hint
+        table, n, K, wb_cap=wb_hint, exact_out=True
     )
+    gather_dmin, _jm = gather_tail_plan(K, min_len, max_len, Wb, dmin_hint)
+    nb = -(-n // K)
     B = G * LANES
     nsym_np = np.zeros(B, np.int32)
     full = n // K
@@ -863,6 +1049,7 @@ def encode_step(table: HuffmanTable, n: int, block_symbols: int = 192,
         return _encode_pipeline(
             syms_u32, nsym, jnp.uint32(eos_padding), K, G, Wb, num_out_words,
             p32t, lent, min_len, max_len, interpret,
+            gather_dmin=gather_dmin, nb=nb,
         )
 
     def encode_fn(symbols):
@@ -873,8 +1060,8 @@ def encode_step(table: HuffmanTable, n: int, block_symbols: int = 192,
         words, total_bits, padded_bits, bad, ovf, _offs = _pipeline(symbols)
         if bool(ovf):
             raise OverflowError(
-                f"block overflowed the span-adaptive buffer (wb_hint="
-                f"{wb_hint}); re-plan without the hint"
+                f"block overflowed the span-adaptive plan (wb_hint="
+                f"{wb_hint}, dmin_hint={dmin_hint}); re-plan without hints"
             )
         if bool(bad):
             raise UnknownSymbolError()
@@ -896,12 +1083,19 @@ def _run(symbols: np.ndarray, table: HuffmanTable, eos_padding: int):
 
     n = symbols.size
     K = pack_k(table)
-    # Adaptive span hint lives ON the table (object.__setattr__ pierces
+    # Adaptive span hints live ON the table (object.__setattr__ pierces
     # the frozen dataclass): an id()-keyed dict can alias a recycled
     # address after the original table is collected.
-    for wb_cap in (getattr(table, "_wb_hint", None), None):
+    nb = -(-n // K)
+    for wb_cap, dmin_hint in (
+        (getattr(table, "_wb_hint", None), getattr(table, "_dmin_hint", None)),
+        (None, None),
+    ):
         p32t, lent, min_len, max_len, Wb, G, num_out_words = _plan(
             table, n, K, wb_cap=wb_cap
+        )
+        gather_dmin, _jm = gather_tail_plan(
+            K, min_len, max_len, Wb, dmin_hint
         )
         B = G * LANES
         nsym_np = np.zeros(B, np.int32)
@@ -919,16 +1113,18 @@ def _run(symbols: np.ndarray, table: HuffmanTable, eos_padding: int):
             K, G, Wb, num_out_words,
             p32t, lent, min_len, max_len,
             _use_interpret(),
+            gather_dmin=gather_dmin, nb=nb,
         )
-        if wb_cap is not None and bool(ovf):
-            continue  # data outgrew the learned hint: static-bound re-run
+        if (wb_cap is not None or dmin_hint is not None) and bool(ovf):
+            continue  # data outgrew the learned hints: static-bound re-run
         break
     if bool(bad):
         lens = table.lengths[symbols]
         idx = int(np.argmax(lens == 0))
         raise UnknownSymbolError(index=idx, symbol=int(symbols[idx]))
-    # Learn/refresh the span hint from this stream's sub-block offsets
-    # (host work O(blocks)): max block span x1.25 + slack.
+    # Learn/refresh the span hints from this stream's sub-block offsets
+    # (host work O(blocks)): max block span x1.25 + slack for Wb, min
+    # output-row advance for the gather stitch's merge-case set.
     S = _sub_block(K, min_len, max_len)
     step = K // S
     offs_np = np.asarray(offs).astype(np.int64)
@@ -937,6 +1133,14 @@ def _run(symbols: np.ndarray, table: HuffmanTable, eos_padding: int):
         spans = np.diff(blk, append=np.int64(int(total_bits)))
         ms = int(spans.max())
         object.__setattr__(table, "_wb_hint", (ms + ms // 4) // 32 + 4)
+        nb_full = n // K
+        if nb_full > 1:
+            r0 = blk[:nb_full] >> np.int64(5 + STITCH_SW.bit_length() - 1)
+            static = (K * min_len) // (32 * STITCH_SW)
+            object.__setattr__(
+                table, "_dmin_hint",
+                max(static, int(np.diff(r0).min())),
+            )
     return words, total_bits, padded_bits, offs
 
 
