@@ -148,21 +148,27 @@ def test_one_pass_fast_path_engages():
     rng = np.random.default_rng(31)
     data = rng.integers(0, sym, size=2200, dtype=np.uint8).tobytes()
     enc = th.encode(data, t)
-    calls = {"fast": 0, "none": 0}
-    orig = ss._stitch_fast
+    # Round 4: clean streams resolve entirely in the DEVICE stitch — the
+    # host merge (_stitch_fast), the repair round (_dense_repair), and the
+    # fixpoint (_segments_pipeline) must all stay untouched.
+    calls = {"stitch": 0, "repair": 0, "fixpoint": 0}
+    origs = (ss._stitch_fast, ss._dense_repair, ss._segments_pipeline)
 
-    def spy(*a, **k):
-        r = orig(*a, **k)
-        calls["fast" if r is not None else "none"] += 1
-        return r
+    def spy(name, fn):
+        def wrapped(*a, **k):
+            calls[name] += 1
+            return fn(*a, **k)
+        return wrapped
 
-    ss._stitch_fast = spy
+    ss._stitch_fast = spy("stitch", origs[0])
+    ss._dense_repair = spy("repair", origs[1])
+    ss._segments_pipeline = spy("fixpoint", origs[2])
     try:
         out = selfsync.selfsync_decode(enc, t, seg_words=4)
     finally:
-        ss._stitch_fast = orig
+        ss._stitch_fast, ss._dense_repair, ss._segments_pipeline = origs
     assert out == data
-    assert calls["fast"] >= 1 and calls["none"] == 0
+    assert calls == {"stitch": 0, "repair": 0, "fixpoint": 0}
 
 
 @pytest.mark.slow

@@ -367,12 +367,25 @@ def best_encode_step(table: HuffmanTable, n: int, block_symbols: int = 192,
     from . import pallas_encode
 
     if pallas_encode.supports(table):
-        wb_hint = dmin_hint = None
+        wb_hint = dmin_hint = out_hint = None
+        K = None
         if sample is not None:
-            wb_hint = pallas_encode.plan_wb_encode(table, sample)
-            dmin_hint = pallas_encode.plan_dmin_encode(table, sample)
+            # With a sample, prefer the larger fast-K plan when its
+            # span-adaptive buffers stay in the compile-safe envelope
+            # (the worst-case buffer at fast K may not compile; the
+            # hinted one does, and finalize_fn flags hint overflows).
+            kf = pallas_encode.pack_k_fast(table)
+            if kf != pallas_encode.pack_k(table):
+                wb_f = pallas_encode.plan_wb_encode(table, sample, K=kf)
+                if wb_f <= 512:
+                    K = kf
+            K = K or pallas_encode.pack_k(table)
+            wb_hint = pallas_encode.plan_wb_encode(table, sample, K=K)
+            dmin_hint = pallas_encode.plan_dmin_encode(table, sample, K=K)
+            out_hint = pallas_encode.plan_out_encode(table, sample, n)
         return pallas_encode.encode_step(
-            table, n, block_symbols, wb_hint=wb_hint, dmin_hint=dmin_hint
+            table, n, block_symbols, K=K, wb_hint=wb_hint,
+            dmin_hint=dmin_hint, out_bits_hint=out_hint,
         )
 
     dt = DeviceTable.for_table(table)

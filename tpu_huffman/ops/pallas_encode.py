@@ -140,7 +140,15 @@ def gather_tail_plan(K: int, min_len: int, max_len: int, Wb: int,
         return 0, 0
     dmin = max(dmin_static, int(dmin_hint or 0))
     nrows = -(-(Wb + SW) // SW)
-    return dmin, (nrows - 1) // dmin
+    jmax = (nrows - 1) // dmin
+    if jmax > 4:
+        # the in-kernel merge holds ~jmax*nrows*SW live row tiles; past
+        # this the deep static-bound kernel blows scoped VMEM (measured
+        # 26.9M vs 16M at nrows=9). Such plans (worst-case buffers on
+        # deep tables) keep the scatter tail; the span-adaptive hinted
+        # plan stays gather-eligible.
+        return 0, 0
+    return dmin, jmax
 
 
 @functools.lru_cache(maxsize=64)
@@ -205,12 +213,23 @@ def _make_pack_call(p32t, lent, K: int, Wb: int, G: int,
             ]
         )
     else:
+        # max_len in (26, 32]: the pattern needs the full u32 (two row
+        # gathers + select), but the LENGTHS pack 4-per-u32 into 64 words
+        # — ONE row gather on (sym >> 2) + a byte select, cutting the
+        # per-symbol lookup from 4 gathers to 3 (round 4: the deep-table
+        # pack kernel is lookup-bound, ~13 VPU cycles per 256-LUT gather).
+        lp = np.zeros(128, np.uint32)
+        lp[:64] = (
+            len_np[0::4].astype(np.uint32)
+            | (len_np[1::4].astype(np.uint32) << 8)
+            | (len_np[2::4].astype(np.uint32) << 16)
+            | (len_np[3::4].astype(np.uint32) << 24)
+        )
         tbl_np = np.stack(
             [
                 np.broadcast_to(p32_np.view(np.int32)[:128], (8, 128)),
                 np.broadcast_to(p32_np.view(np.int32)[128:], (8, 128)),
-                np.broadcast_to(len_np[:128], (8, 128)),
-                np.broadcast_to(len_np[128:], (8, 128)),
+                np.broadcast_to(lp.view(np.int32), (8, 128)),
             ]
         )
 
@@ -236,17 +255,18 @@ def _make_pack_call(p32t, lent, K: int, Wb: int, G: int,
             )
             eu = jax.lax.bitcast_convert_type(e, jnp.uint32)
             return eu & jnp.uint32(0xFFFFFFC0), (e & 63).astype(jnp.int32)
-        plo, phi, llo, lhi = luts
+        plo, phi, lpk = luts
         p = jnp.where(
             hi,
             jnp.take_along_axis(phi, lo, axis=1),
             jnp.take_along_axis(plo, lo, axis=1),
         )
-        ln = jnp.where(
-            hi,
-            jnp.take_along_axis(lhi, lo, axis=1),
-            jnp.take_along_axis(llo, lo, axis=1),
+        le = jax.lax.bitcast_convert_type(
+            jnp.take_along_axis(lpk, idx >> 2, axis=1), jnp.uint32
         )
+        ln = (
+            (le >> ((idx & 3) << 3).astype(jnp.uint32)) & jnp.uint32(0xFF)
+        ).astype(jnp.int32)
         return jax.lax.bitcast_convert_type(p, jnp.uint32), ln
 
     nsub = K // S
@@ -276,16 +296,20 @@ def _make_pack_call(p32t, lent, K: int, Wb: int, G: int,
         w = [zero for _ in range(Wb)]
         off = jnp.zeros((8, 128), jnp.int32)
         bad = jnp.zeros((8, 128), jnp.bool_)
-        # Pair fusion: when two codes fit one u32 (max_len <= 16), fuse
-        # symbols 2j,2j+1 into one pattern (p0 | p1 >> l0) and run ONE
-        # select-scatter per pair — the window arithmetic is identical
-        # (it depends only on the unit's start bit) so the dominant
-        # window work halves.
+        # Pair fusion: fuse symbols 2j,2j+1 into one unit and run ONE
+        # select-scatter per pair — the window arithmetic depends only on
+        # the unit's start bit, so the dominant window work halves. When
+        # two codes fit one u32 (max_len <= 16) the unit is a single
+        # pattern word spanning <= 2 output words; for deeper codes
+        # (max_len <= 32, always true) it is a TWO-word pattern (phi, plo)
+        # spanning <= 3 output words (round 4: this deletes the deep
+        # table's one-scatter-per-symbol regime, VERDICT r3 #4).
         pair = max_len <= 16
-        step = 2 if pair else 1
+        pair64 = not pair
+        step = 2
 
         def unit(wl, loff, bad, packed, v, i, il, Wl):
-            """Pack one (fused-pair) unit at local offset ``loff`` into
+            """Pack one fused-pair unit at local offset ``loff`` into
             ``wl`` (mutated). Returns (bad, new loff)."""
             sym = (packed >> jnp.uint32(8 * v)) & jnp.uint32(0xFF)
             p32, ln = lookup(sym, luts)
@@ -293,40 +317,54 @@ def _make_pack_call(p32t, lent, K: int, Wb: int, G: int,
             bad = bad | (active & (ln == 0))
             p32 = jnp.where(active, p32, jnp.uint32(0))
             ln = jnp.where(active, ln, 0)
+            sym1 = (packed >> jnp.uint32(8 * (v + 1))) & jnp.uint32(0xFF)
+            p1, l1 = lookup(sym1, luts)
+            active1 = (i + 1) < ns
+            bad = bad | (active1 & (l1 == 0))
+            p1 = jnp.where(active1, p1, jnp.uint32(0))
+            l1 = jnp.where(active1, l1, 0)
             if pair:
-                sym1 = (packed >> jnp.uint32(8 * (v + 1))) & jnp.uint32(0xFF)
-                p1, l1 = lookup(sym1, luts)
-                active1 = (i + 1) < ns
-                bad = bad | (active1 & (l1 == 0))
-                p1 = jnp.where(active1, p1, jnp.uint32(0))
-                l1 = jnp.where(active1, l1, 0)
                 p32 = p32 | (p1 >> ln.astype(jnp.uint32))
+                ln = ln + l1
+            else:
+                # two-word fused pattern: phi = p0 | p1 >> l0 (l0 in
+                # [1,32] when p1 != 0, so the double shift stays defined),
+                # plo = p1 << (32 - l0) (l0 == 0 implies p1 == 0).
+                lnu = ln.astype(jnp.uint32)
+                phi = p32 | (
+                    (p1 >> jnp.uint32(1)) >> ((lnu - 1) & jnp.uint32(31))
+                )
+                plo = p1 << ((jnp.uint32(32) - lnu) & jnp.uint32(31))
                 ln = ln + l1
             widx = loff >> 5
             sh = (loff & 31).astype(jnp.uint32)
-            hi = p32 >> sh
-            lo = (p32 << (jnp.uint32(31) - sh)) << jnp.uint32(1)
-            # the unit's start bit is within [il*min_len,
-            # il*max_len] (loff >= il*min_len always, so widx >=
-            # j_lo and the lo half never lands at j_lo). The
-            # widx==j compare at word j is reused as the widx==j-1
-            # test at word j+1.
+            inv = jnp.uint32(31) - sh
+            if pair:
+                hi = p32 >> sh
+                lo = (p32 << inv) << jnp.uint32(1)
+            else:
+                hi = phi >> sh
+                lo = ((phi << inv) << jnp.uint32(1)) | (plo >> sh)
+                lo2 = (plo << inv) << jnp.uint32(1)
+            # the unit's start bit is within [il*min_len, il*max_len]
+            # (loff >= il*min_len always, so widx >= j_lo and the tail
+            # halves never land at j_lo). The widx==j compare at word j
+            # is reused as the widx==j-k test at word j+k.
+            tail = 2 if pair64 else 1
             j_lo = (il * min_len) >> 5
             j_hi = min((il * max_len) >> 5, Wl - 1)
-            j_end = min(j_hi + 1, Wl - 1)
-            eq_prev = None
+            j_end = min(j_hi + tail, Wl - 1)
+            parts = (hi, lo, lo2) if pair64 else (hi, lo)
+            eqs = []  # eqs[-1-k] = (widx == j-k), None once past j_hi
             for j in range(j_lo, j_end + 1):
-                eq = (widx == j) if j <= j_hi else None
-                if eq is not None and eq_prev is not None:
-                    vv = jnp.where(
-                        eq, hi, jnp.where(eq_prev, lo, jnp.uint32(0))
-                    )
-                elif eq is not None:
-                    vv = jnp.where(eq, hi, jnp.uint32(0))
-                else:
-                    vv = jnp.where(eq_prev, lo, jnp.uint32(0))
-                wl[j] = wl[j] | vv
-                eq_prev = eq
+                eqs.append((widx == j) if j <= j_hi else None)
+                vv = None  # where(widx==j, hi, where(widx==j-1, lo, ...))
+                for k, part in enumerate(parts):
+                    if len(eqs) <= k or eqs[-1 - k] is None:
+                        continue
+                    vv = jnp.where(eqs[-1 - k], part, zero if vv is None else vv)
+                if vv is not None:
+                    wl[j] = wl[j] | vv
             return bad, loff + ln
 
         def merge_local(wl, loff, s, w, off):
@@ -352,7 +390,14 @@ def _make_pack_call(p32t, lent, K: int, Wb: int, G: int,
                     )
                 wlf.append(cur)
             j_anchor = (s * S * min_len) >> 5
-            maxshift = ((s * S * max_len) >> 5) - j_anchor
+            # d = (off>>5) - j_anchor is bounded both by the length spread
+            # AND by the buffer itself (off + span <= 32*Wb): clamping by
+            # Wb cuts the select depth for late sub-blocks of span-adaptive
+            # deep-table plans (round 4: 9 -> 5 stages at Wb=108, S=16).
+            maxshift = min(
+                ((s * S * max_len) >> 5) - j_anchor,
+                max(0, Wb - j_anchor - 1),
+            )
             width = min(Ws + 1 + maxshift, Wb - j_anchor)
             buf = wlf + [zero] * max(0, width - (Ws + 1))
             buf = buf[:width]
@@ -708,6 +753,11 @@ def _encode_pipeline(
         offs, total_bits = _exclusive_cumsum_blocks(
             bt, mxu_inner=(128 * K * max_len <= 1 << 24)
         )
+    # span-adaptive output cap (see _plan): never fires on a static plan
+    # (num_out_words >= ceil(n*max_len/32)+2 there; n*max_len < 2^31).
+    ovf_any = ovf_any | (
+        total_bits >= jnp.int32(min(32 * (num_out_words - 1), 2**31 - 1))
+    )
     if nsub > 1:
         # Sub-block inclusive chain feeds ONLY the returned index; when the
         # caller drops offs_sub (the fixed-shape bench/entry seam) XLA DCEs
@@ -865,7 +915,7 @@ def _use_interpret() -> bool:
 
 
 def _plan(table: HuffmanTable, n: int, K: int = 32, wb_cap: int | None = None,
-          exact_out: bool = False):
+          exact_out: bool = False, out_cap_bits: int | None = None):
     # Direct per-symbol tables (hashable tuples: they key the lru-cached
     # pallas_call): left-aligned pattern and code length, length 0 =
     # unknown symbol (the reference coder contract, huffman.h:34-36).
@@ -905,6 +955,14 @@ def _plan(table: HuffmanTable, n: int, K: int = 32, wb_cap: int | None = None,
     # pass exact_out=True: they re-trace per n anyway and the tail cost
     # scales with the output buffer.
     needed = -(-(n * max_len) // 32) + 2
+    if out_cap_bits is not None:
+        # Span-adaptive OUTPUT buffer (round 4): the worst-case n*max_len
+        # sizing makes the stitch tail's zeros/scatter passes scale with
+        # max_len instead of the real stream (31 MB vs ~7 MB on the 5-30
+        # table's matched corpus). The pipeline flags total_bits running
+        # past the buffer and callers re-run with the static bound, like
+        # wb_cap. Gather/scatter modes clip/drop so nothing corrupts.
+        needed = min(needed, -(-out_cap_bits // 32) + 2)
     if exact_out:
         num_out_words = max(1024, -(-needed // 1024) * 1024)
     else:
@@ -936,7 +994,26 @@ def pack_k(table: HuffmanTable) -> int:
     # bound well past the old 320-word target (5-30-bit table at 8 MiB:
     # 1508 us @K=256 vs 1293 @512), and K=1024 keeps winning on shallow
     # ones. Cap at 1024 (the 8 MiB sweep's optimum; 2048 regressed).
+    # This budget is also the STATIC-COMPILE-SAFE envelope: the
+    # worst-case Wb = ceil(K*max_len/32) kernel must always compile
+    # (deep K=1024/Wb=960 blows scoped VMEM, 27-39M vs the 16M limit),
+    # so bigger K is only reachable through pack_k_fast + span hints.
     budget = max(32, 20480 // max_len)
+    return min(1024, 1 << (budget.bit_length() - 1))
+
+
+def pack_k_fast(table: HuffmanTable) -> int:
+    """Preferred kernel block size when a span-adaptive wb_hint keeps the
+    per-lane buffers small (round 4): K=1024 on tables up to 30-bit codes
+    makes K*min_len >= 4096, i.e. gather-tail-eligible (min_len >= 4),
+    and measured at or above the K=512 rate on the 5-30 table once the
+    tail reworks landed. Callers MUST fall back to pack_k(table) when no
+    hint is available — the worst-case buffer at this K may not compile."""
+    if _use_interpret():
+        return 32
+    lens = table.lengths[table.lengths > 0]
+    max_len = int(lens.max()) if lens.size else 1
+    budget = max(32, (40960 if max_len <= 30 else 20480) // max_len)
     return min(1024, 1 << (budget.bit_length() - 1))
 
 
@@ -1008,9 +1085,28 @@ def plan_dmin_encode(table: HuffmanTable, sample, K: int | None = None) -> int:
     return max(static, int(np.diff(r0).min()))
 
 
+def plan_out_encode(table: HuffmanTable, sample, n: int | None = None) -> int:
+    """Span-adaptive output-buffer cap in BITS for an n-symbol encode,
+    estimated from a representative sample's mean code length (x1.15 +
+    slack). The pipeline's output-overflow flag + static re-run guards
+    less compressible inputs, mirroring plan_wb_encode."""
+    arr = (
+        np.frombuffer(bytes(sample), dtype=np.uint8)
+        if isinstance(sample, (bytes, bytearray))
+        else np.asarray(sample, dtype=np.uint8)
+    )
+    if n is None:
+        n = arr.size
+    if arr.size == 0:
+        return n * int(table.max_len)
+    rate = float(table.lengths[arr].astype(np.int64).mean())
+    return min(n * int(table.max_len), int(n * rate * 1.15) + 8192)
+
+
 def encode_step(table: HuffmanTable, n: int, block_symbols: int = 192,
                 eos_padding: int = 0xFF, K: int | None = None,
-                wb_hint: int | None = None, dmin_hint: int | None = None):
+                wb_hint: int | None = None, dmin_hint: int | None = None,
+                out_bits_hint: int | None = None):
     """Bench/entry seam: returns (encode_fn, finalize_fn) for fixed n.
 
     encode_fn(symbols u8[n] on device) -> (words, total_bits, padded_bits),
@@ -1027,7 +1123,8 @@ def encode_step(table: HuffmanTable, n: int, block_symbols: int = 192,
     if K is None:
         K = pack_k(table)
     p32t, lent, min_len, max_len, Wb, G, num_out_words = _plan(
-        table, n, K, wb_cap=wb_hint, exact_out=True
+        table, n, K, wb_cap=wb_hint, exact_out=True,
+        out_cap_bits=out_bits_hint,
     )
     gather_dmin, _jm = gather_tail_plan(K, min_len, max_len, Wb, dmin_hint)
     nb = -(-n // K)
@@ -1087,12 +1184,18 @@ def _run(symbols: np.ndarray, table: HuffmanTable, eos_padding: int):
     # the frozen dataclass): an id()-keyed dict can alias a recycled
     # address after the original table is collected.
     nb = -(-n // K)
-    for wb_cap, dmin_hint in (
-        (getattr(table, "_wb_hint", None), getattr(table, "_dmin_hint", None)),
-        (None, None),
+    rate = getattr(table, "_rate_hint", None)
+    out_cap = (int(n * rate) + 8192) if rate is not None else None
+    for wb_cap, dmin_hint, cap_bits in (
+        (
+            getattr(table, "_wb_hint", None),
+            getattr(table, "_dmin_hint", None),
+            out_cap,
+        ),
+        (None, None, None),
     ):
         p32t, lent, min_len, max_len, Wb, G, num_out_words = _plan(
-            table, n, K, wb_cap=wb_cap
+            table, n, K, wb_cap=wb_cap, out_cap_bits=cap_bits
         )
         gather_dmin, _jm = gather_tail_plan(
             K, min_len, max_len, Wb, dmin_hint
@@ -1115,7 +1218,9 @@ def _run(symbols: np.ndarray, table: HuffmanTable, eos_padding: int):
             _use_interpret(),
             gather_dmin=gather_dmin, nb=nb,
         )
-        if (wb_cap is not None or dmin_hint is not None) and bool(ovf):
+        if (
+            wb_cap is not None or dmin_hint is not None or cap_bits is not None
+        ) and bool(ovf):
             continue  # data outgrew the learned hints: static-bound re-run
         break
     if bool(bad):
@@ -1141,6 +1246,9 @@ def _run(symbols: np.ndarray, table: HuffmanTable, eos_padding: int):
                 table, "_dmin_hint",
                 max(static, int(np.diff(r0).min())),
             )
+        object.__setattr__(
+            table, "_rate_hint", 1.15 * int(total_bits) / max(1, n)
+        )
     return words, total_bits, padded_bits, offs
 
 

@@ -388,7 +388,7 @@ def selfsync_decode_ex(
     raw = bytes(data) if isinstance(data, (bytes, bytearray)) else np.asarray(
         data, dtype=np.uint8
     ).tobytes()
-    seg = _selfsync_segments(raw, table, seg_words, start_bit)
+    seg = _selfsync_segments(raw, table, seg_words, start_bit, dense=True)
     if seg is None:  # small stream (or non-convergence): pure host loop
         total_bits = len(raw) * 8
         if not raw or total_bits <= start_bit:
@@ -397,14 +397,16 @@ def selfsync_decode_ex(
         out, pos = _decode_tail_host(table, value, total_bits - start_bit)
         return bytes(out), start_bit + pos
 
-    syms, starts, counts, bad_np, S, seg_bits, tail_start_bit = seg
-    # Unknown symbol on the converged chain? Reference raises only with
-    # >= 32 bits left (huffman.c:246); all these segments are mid-stream.
-    if (bad_np != 0).any():
-        raise UnknownSymbolError()
-
-    mask = np.arange(syms.shape[1])[None, :] < counts[:, None]
-    body = syms[mask]
+    if isinstance(seg[0], str):
+        _tag, body_bytes, tail_start_bit = seg
+    else:
+        syms, starts, counts, bad_np, S, seg_bits, tail_start_bit = seg
+        # Unknown symbol on the converged chain? Reference raises only with
+        # >= 32 bits left (huffman.c:246); all these segments are mid-stream.
+        if (bad_np != 0).any():
+            raise UnknownSymbolError()
+        mask = np.arange(syms.shape[1])[None, :] < counts[:, None]
+        body_bytes = syms[mask].tobytes()
 
     # Tail: everything from the last full segment's exit onward.
     total_bits = len(raw) * 8
@@ -412,7 +414,7 @@ def selfsync_decode_ex(
     left = total_bits - tail_start_bit
     tail_value = value & ((1 << left) - 1)
     tail, pos = _decode_tail_host(table, tail_value, left)
-    return body.tobytes() + bytes(tail), tail_start_bit + pos
+    return body_bytes + bytes(tail), tail_start_bit + pos
 
 
 def _plan_segments(total_bits: int, seg_words: int):
@@ -466,7 +468,7 @@ def _stage_windows_dev(jwords, Bp: int, seg_words: int):
 
 
 def _selfsync_segments(raw: bytes, table: HuffmanTable, seg_words: int,
-                       start_bit: int):
+                       start_bit: int, dense: bool = False):
     """Run the fixpoint kernel over the stream's full segments.
 
     Returns None when the stream is too small for the kernel path (caller
@@ -489,20 +491,27 @@ def _selfsync_segments(raw: bytes, table: HuffmanTable, seg_words: int,
     padded = np.zeros(need_words, np.uint32)
     padded[: min(words_np.size, need_words)] = words_np[:need_words]
     return _segments_from_words(
-        jnp.asarray(padded), table, seg_words, start_bit, S, G, Bp, seg_bits
+        jnp.asarray(padded), table, seg_words, start_bit, S, G, Bp, seg_bits,
+        dense=dense,
     )
 
 
 def _segments_from_words(jwords, table: HuffmanTable, seg_words: int,
                          start_bit: int, S: int, G: int, Bp: int,
                          seg_bits: int, w0: int = 0,
-                         need_words: int | None = None):
+                         need_words: int | None = None,
+                         dense: bool = False):
     """Kernel passes + host post-processing over pre-planned segments.
 
     ``jwords``: device uint32 words of the stream view (bit 0 = MSB of word
     0), zero-padded to the plan's need_words. ``start_bit`` may be any
     value < 32 (device-resident callers resume mid-word; the kernel's entry
-    roll handles it). Return contract matches :func:`_selfsync_segments`.
+    roll handles it). Return contract matches :func:`_selfsync_segments` —
+    except with ``dense=True``, where the happy path returns
+    ("dense", body_bytes, tail_start_bit) instead: the merge-stitch AND
+    the compaction run on device (round 4), so only the decoded bytes
+    cross the tunnel. Callers that need per-symbol starts (the capped
+    protocol) keep dense=False.
 
     One fused device program (staging + fixpoint passes + output reorder)
     and one batched download: on this rig every dispatch costs 40-80 ms of
@@ -528,43 +537,77 @@ def _segments_from_words(jwords, table: HuffmanTable, seg_words: int,
     if jwords.shape[0] < w0 + need_words:
         jwords = jnp.pad(jwords, (0, w0 + need_words - jwords.shape[0]))
 
-    # Fast path: one full pass + patch pass; host merge-stitch. Falls back
-    # to the fixpoint loop when a segment doesn't resolve (pathological
-    # self-sync or a poisoned chain, where exact bad-bit semantics matter).
-    fast = jax.device_get(_segments_pipeline_fast(
-        jwords, jnp.int32(w0), jnp.int32(start_bit),
-        need_words=need_words, S=S, G=G, seg_words=seg_words, S_dl=S_dl,
-        max_syms=max_syms, intervals=intervals, aux=aux, interpret=interp,
-    ))
+    if dense:
+        body_pad, small, raw = _segments_pipeline_dense(
+            jwords, jnp.int32(w0), jnp.int32(start_bit),
+            jnp.asarray(table.lengths.astype(np.int32)),
+            need_words=need_words, S=S, G=G, seg_words=seg_words,
+            S_dl=S_dl, max_syms=max_syms, intervals=intervals, aux=aux,
+            interpret=interp,
+        )
+        total, all_ok, last_exit, counts_d, resolved_d, e1_d, exits0_d = (
+            jax.device_get(small)
+        )
+        tail_start_bit = S * seg_bits + int(last_exit) - seg_bits
+        n_body = int(total)
+        if bool(all_ok):
+            body = np.asarray(body_pad[:n_body]).tobytes()
+            return ("dense", body, tail_start_bit)
+        # Repair + splice: re-decode the failed segments from their true
+        # entries (same validation as _stitch_fast), then replace their
+        # byte ranges in the dense download. Counts may change, so the
+        # splice rebuilds from O(failures) slices.
+        resolved = resolved_d[:S]
+        idx = np.flatnonzero(~resolved)
+        if idx.size <= max(64, S >> 5):
+            counts = counts_d[:S].astype(np.int64)
+            e1_h = e1_d[:S]
+            exits0_h = exits0_d[:S].astype(np.int64)
+            rep_syms, rep_exits, rep_bad = _dense_repair(
+                jwords, w0, idx, e1_h[idx].astype(np.int32), seg_words,
+                max_syms, intervals, aux, interp,
+            )
+            if (
+                (rep_bad == 0).all()
+                and (rep_exits.astype(np.int64) == exits0_h[idx]).all()
+            ):
+                lens_r = table.lengths[rep_syms].astype(np.int64)
+                starts_r = (
+                    np.cumsum(lens_r, axis=1) - lens_r
+                    + e1_h[idx].astype(np.int64)[:, None]
+                )
+                counts_r = (starts_r < seg_bits).sum(axis=1)
+                body_np = np.asarray(body_pad[:n_body])
+                pos = np.concatenate([[0], np.cumsum(counts)])
+                pieces = []
+                prev = 0
+                for k, s in enumerate(idx):
+                    pieces.append(body_np[prev:pos[s]])
+                    pieces.append(rep_syms[k, : counts_r[k]])
+                    prev = pos[s + 1]
+                pieces.append(body_np[prev:n_body])
+                return (
+                    "dense",
+                    np.concatenate(pieces).tobytes(),
+                    tail_start_bit,
+                )
+        # corrupt stream / unsynced chain / too many failures: classic path
+        fast = jax.device_get(raw)
+    else:
+        # Fast path: one full pass + patch pass; host merge-stitch. Falls
+        # back to the fixpoint loop when a segment doesn't resolve
+        # (pathological self-sync or a poisoned chain, where exact bad-bit
+        # semantics matter).
+        fast = jax.device_get(_segments_pipeline_fast(
+            jwords, jnp.int32(w0), jnp.int32(start_bit),
+            need_words=need_words, S=S, G=G, seg_words=seg_words, S_dl=S_dl,
+            max_syms=max_syms, intervals=intervals, aux=aux, interpret=interp,
+        ))
     def repair_fn(idx: np.ndarray, entries_r: np.ndarray):
-        """Compacted device re-decode of the failed segments.
-
-        Gathers just those segments' windows from the (device) word
-        stream, runs the full-length kernel over ceil(R/LANES) lane
-        groups, and returns (syms u8[R, max_syms], exits i32[R],
-        bad i32[R]). Cost scales with the failure count, not the stream.
-        """
-        R = idx.size
-        Rp = -(-R // LANES) * LANES
-        G_f = Rp // LANES
-        Wb = seg_words + SEG_SLACK
-        rows = idx[:, None].astype(np.int64) * seg_words + np.arange(Wb)[None, :]
-        rows_p = np.zeros((Rp, Wb), np.int64)
-        rows_p[:R] = rows + w0
-        winf = jnp.take(jwords, jnp.asarray(rows_p), mode="clip")
-        winf = winf.reshape(G_f, 8, 128, Wb).transpose(0, 3, 1, 2)
-        call = _make_selfsync_call(intervals, aux, max_syms, G_f, interp, seg_words)
-        ent = np.zeros(Rp, np.int32)
-        ent[:R] = entries_r
-        out, exits, bad = call(winf, jnp.asarray(ent).reshape(G_f, 8, 128))
-        rows_out = (
-            out.reshape(G_f, K4, 8, 128).transpose(0, 2, 3, 1).reshape(Rp, K4)
+        return _dense_repair(
+            jwords, w0, idx, entries_r, seg_words, max_syms, intervals,
+            aux, interp,
         )
-        syms_r, exits_np, bad_np = jax.device_get(
-            (rows_out, exits.reshape(-1), bad.reshape(-1))
-        )
-        syms_r = np.ascontiguousarray(syms_r).view(np.uint8).reshape(Rp, 4 * K4)[:R]
-        return syms_r, exits_np[:R], bad_np[:R]
 
     stitched = _stitch_fast(
         table, fast, S, seg_bits, start_bit, max_syms, K4, repair_fn
@@ -608,6 +651,39 @@ def _segments_from_words(jwords, table: HuffmanTable, seg_words: int,
 @functools.partial(jax.jit, static_argnames=("size",))
 def _dslice(buf, start, size):
     return jax.lax.dynamic_slice(buf, (start,), (size,))
+
+
+def _dense_repair(jwords, w0, idx: np.ndarray, entries_r: np.ndarray,
+                  seg_words: int, max_syms: int, intervals, aux, interp):
+    """Compacted device re-decode of failed segments.
+
+    Gathers just those segments' windows from the (device) word stream,
+    runs the full-length kernel over ceil(R/LANES) lane groups, and
+    returns (syms u8[R, max_syms], exits i32[R], bad i32[R]). Cost scales
+    with the failure count, not the stream.
+    """
+    K4 = -(-max_syms // 4)
+    R = idx.size
+    Rp = -(-R // LANES) * LANES
+    G_f = Rp // LANES
+    Wb = seg_words + SEG_SLACK
+    rows = idx[:, None].astype(np.int64) * seg_words + np.arange(Wb)[None, :]
+    rows_p = np.zeros((Rp, Wb), np.int64)
+    rows_p[:R] = rows + w0
+    winf = jnp.take(jwords, jnp.asarray(rows_p), mode="clip")
+    winf = winf.reshape(G_f, 8, 128, Wb).transpose(0, 3, 1, 2)
+    call = _make_selfsync_call(intervals, aux, max_syms, G_f, interp, seg_words)
+    ent = np.zeros(Rp, np.int32)
+    ent[:R] = entries_r
+    out, exits, bad = call(winf, jnp.asarray(ent).reshape(G_f, 8, 128))
+    rows_out = (
+        out.reshape(G_f, K4, 8, 128).transpose(0, 2, 3, 1).reshape(Rp, K4)
+    )
+    syms_r, exits_np, bad_np = jax.device_get(
+        (rows_out, exits.reshape(-1), bad.reshape(-1))
+    )
+    syms_r = np.ascontiguousarray(syms_r).view(np.uint8).reshape(Rp, 4 * K4)[:R]
+    return syms_r, exits_np[:R], bad_np[:R]
 
 
 def _stitch_fast(table, fast, S, seg_bits, start_bit, max_syms, K4, repair_fn):
@@ -806,6 +882,145 @@ def _segments_pipeline_fast(buf, w0, start_bit, *, need_words, S, G,
         "aux", "interpret",
     ),
 )
+def _segments_pipeline_dense(buf, w0, start_bit, lengths, *, need_words, S,
+                             G, seg_words, S_dl, max_syms, intervals, aux,
+                             interpret):
+    """One-pass + patch + DEVICE merge-stitch (round 4, VERDICT r3 #2b/c).
+
+    The round-3 fast path downloaded per-symbol pass-0 boundary offsets
+    (2 bytes/slot) plus pow2-padded symbol rows — ~5-6x the plaintext over
+    this rig's ~10 MB/s effective tunnel — and merged on host over
+    S x (max_syms+A) int64 arrays. Wall time was 5.5-6.9 s per 8 MiB vs
+    0.73-0.88 s for the indexed path. This program runs the same merge
+    logic as ``_stitch_fast`` on device and COMPACTS the stitched chains
+    into one dense u8 stream (the encode gather-tail trick: per-segment
+    output positions from a small scatter + hierarchical cumsums, one
+    sorted flat gather), so the happy-path download is the decoded bytes
+    and O(1) scalars — the same volume the indexed path pays.
+
+    Returns (body_pad u8[N_pad], total i32, all_ok bool, last_exit i32,
+    counts i32[S_dl], raw...) where raw is the `_segments_pipeline_fast`
+    tuple for the host fallback (lazy device arrays; nothing transfers
+    unless the caller materializes them).
+    """
+    from .pallas_encode import _exclusive_cumsum_blocks
+
+    A = PATCH_SYMS
+    seg_bits = seg_words * 32
+    K4 = -(-max_syms // 4)
+    raw = _segments_pipeline_fast(
+        buf, w0, start_bit, need_words=need_words, S=S, G=G,
+        seg_words=seg_words, S_dl=S_dl, max_syms=max_syms,
+        intervals=intervals, aux=aux, interpret=interpret,
+    )
+    rows0, rowsA, offs0, exits0, exitsA, blast0, badA, entries1 = raw
+    syms0 = jax.lax.bitcast_convert_type(rows0, jnp.uint8).reshape(S_dl, 4 * K4)
+    symsA = jax.lax.bitcast_convert_type(rowsA, jnp.uint8).reshape(S_dl, A)
+    o16 = jax.lax.bitcast_convert_type(offs0, jnp.uint16).reshape(S_dl, 4 * K4)
+    starts0 = o16[:, :max_syms].astype(jnp.int32)[:S]
+    syms0 = syms0[:S]
+    symsA = symsA[:S]
+    exits0 = exits0[:S].astype(jnp.int32)
+    exitsA = exitsA[:S].astype(jnp.int32)
+    blast0 = blast0[:S].astype(jnp.int32)
+    badA_s = badA[:S]
+    e1 = entries1[:S].astype(jnp.int32)
+
+    count0 = jnp.sum((starts0 < seg_bits).astype(jnp.int32), axis=1)
+    lensA = jnp.take(lengths, symsA.astype(jnp.int32), axis=0).astype(jnp.int32)
+    pA = jnp.cumsum(lensA, axis=1) - lensA + e1[:, None]
+    countA = jnp.sum((pA < seg_bits).astype(jnp.int32), axis=1)
+
+    # First patch boundary that is also a pass-0 boundary. A broadcast
+    # outer compare (S, A, max_syms) beats per-query binary search here:
+    # element gathers cost ~8 ns each on this chip (9 search rounds over
+    # S*A queries measured ~170 ms at 8 MiB) while the compare tree is
+    # pure VPU traffic (~5 ms).
+    big = jnp.int32(1 << 30)
+    j_iota16 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, max_syms), 2)
+    eq = (starts0[:, None, :] == pA[:, :, None]) & (
+        j_iota16 < count0[:, None, None]
+    )
+    j_min = jnp.min(jnp.where(eq, j_iota16, big), axis=2)
+    a_iota = jax.lax.broadcasted_iota(jnp.int32, (S, A), 1)
+    hit = (j_min < big) & (a_iota < countA[:, None])
+    any_hit = jnp.any(hit, axis=1)
+    i_s = jnp.where(any_hit, jnp.argmax(hit, axis=1).astype(jnp.int32), 0)
+    j_s = jnp.where(
+        any_hit, jnp.take_along_axis(j_min, i_s[:, None], axis=1)[:, 0], 0
+    )
+    merge_bit = jnp.take_along_axis(pA, i_s[:, None], axis=1)[:, 0]
+    tail_clean = (blast0 == 0) | (blast0 - 1 < merge_bit)
+    use_tail = any_hit & tail_clean
+    reached_end = countA < A
+    resolved = (badA_s == 0) & (
+        use_tail | (reached_end & (exitsA == exits0))
+    )
+    all_ok = jnp.all(resolved)
+
+    i_eff = jnp.where(use_tail, i_s, countA)
+    counts = i_eff + jnp.where(use_tail, count0 - j_s, 0)
+
+    # ---- dense assembly: out = concat_s(patch[s,:i_eff] + pass0[s,j_s:count0])
+    comb = jnp.concatenate([symsA, syms0], axis=1)  # (S, A + 4*K4)
+    stride = A + 4 * K4
+    pos_seg, total = _exclusive_cumsum_blocks(counts)
+    N_pad = S * (max_syms + A)
+    # per-output-slot owner data via scatter-of-deltas + cumsum (the encode
+    # gather-tail expansion): channels = segment base in comb_flat, segment
+    # output start, i_eff, A + j_s.
+    vals = jnp.stack(
+        [
+            jnp.arange(S, dtype=jnp.int32) * stride,
+            pos_seg,
+            i_eff,
+            jnp.int32(A) + j_s,
+        ],
+        axis=1,
+    )
+    deltas = vals - jnp.concatenate(
+        [jnp.zeros((1, 4), jnp.int32), vals[:-1]], axis=0
+    )
+    w4 = jnp.zeros((N_pad, 4), jnp.int32).at[pos_seg].add(
+        deltas, mode="drop", indices_are_sorted=True
+    )
+    cols = []
+    for c in range(4):
+        excl, _t = _exclusive_cumsum_blocks(w4[:, c])
+        cols.append(excl + w4[:, c])
+    base_f = cols[0]           # (owner index)*stride
+    P = cols[1]                # pos_seg[owner]
+    F = cols[2]                # i_eff[owner]
+    Jt = cols[3]               # A + j_s[owner]
+    t_iota = jnp.arange(N_pad, dtype=jnp.int32)
+    u = t_iota - P
+    col = jnp.where(u < F, u, u - F + Jt)
+    src = jnp.clip(base_f + col, 0, S * stride - 1)
+    body_pad = jnp.take(comb.reshape(S * stride), src)
+    last_exit = exits0[S - 1]
+
+    def pad_sdl(x, dtype=jnp.int32):
+        return jnp.zeros((S_dl,), dtype).at[:S].set(x.astype(dtype))
+
+    small = (
+        total,
+        all_ok,
+        last_exit,
+        pad_sdl(counts),
+        pad_sdl(resolved, jnp.bool_),
+        pad_sdl(e1),
+        pad_sdl(exits0),
+    )
+    return body_pad, small, raw
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "need_words", "S", "G", "seg_words", "S_dl", "max_syms", "intervals",
+        "aux", "interpret",
+    ),
+)
 def _segments_pipeline(buf, w0, start_bit, *, need_words, S, G, seg_words,
                        S_dl, max_syms, intervals, aux, interpret):
     """Fused device program: view slice + window staging + fixpoint passes +
@@ -899,18 +1114,21 @@ def selfsync_decode_words(
     S, G, Bp, seg_bits, need_words = plan
     seg = _segments_from_words(
         buf, table, seg_words, sb, S, G, Bp, seg_bits,
-        w0=w0, need_words=need_words,
+        w0=w0, need_words=need_words, dense=True,
     )
     if seg is None:  # non-convergence safeguard
         return host_all()
-    syms, starts, counts, bad_np, S, seg_bits, tail_start_bit = seg
-    if (bad_np != 0).any():
-        raise UnknownSymbolError()
-    mask = np.arange(syms.shape[1])[None, :] < counts[:, None]
-    body = syms[mask]
+    if isinstance(seg[0], str):
+        _tag, body_bytes, tail_start_bit = seg
+    else:
+        syms, starts, counts, bad_np, S, seg_bits, tail_start_bit = seg
+        if (bad_np != 0).any():
+            raise UnknownSymbolError()
+        mask = np.arange(syms.shape[1])[None, :] < counts[:, None]
+        body_bytes = syms[mask].tobytes()
     value, nbits = reader.value(tail_start_bit, total_bits)
     tail, pos = _decode_tail_host(table, value, nbits)
-    return body.tobytes() + bytes(tail), base + tail_start_bit + pos
+    return body_bytes + bytes(tail), base + tail_start_bit + pos
 
 
 def selfsync_decode_capped_words(
