@@ -61,6 +61,37 @@ def mixed_lengths_5_30() -> dict[int, int]:
     return lens
 
 
+def hpack_header_corpus(n: int, seed: int = 7) -> bytes:
+    """Deterministic HTTP-header-like text: the workload of the reference's
+    one downstream consumer (aws-c-http HPACK header compression,
+    reference: builder.json:6-8, README.md:176-183). Field names/values
+    drawn from common headers with varied tokens — the byte distribution
+    (lowercase, digits, '-', '/', ';') is what RFC 7541's code lengths
+    were fit to, so 5-7-bit codes dominate, unlike the uniform-ish
+    synthetic tables."""
+    rng = np.random.default_rng(seed)
+    names = [b"content-type", b":authority", b":path", b"accept-encoding",
+             b"user-agent", b"cache-control", b"x-amz-request-id", b"etag",
+             b"date", b"content-length", b"x-forwarded-for", b"cookie"]
+    words = [b"text/html; charset=utf-8", b"gzip, deflate, br",
+             b"max-age=31536000, immutable", b"www.example.com",
+             b"application/json", b"keep-alive", b"/index.html",
+             b"Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36",
+             b"no-cache", b"session=abc123def456; path=/; httponly"]
+    out = bytearray()
+    while len(out) < n:
+        nm = names[int(rng.integers(len(names)))]
+        if rng.random() < 0.4:
+            val = words[int(rng.integers(len(words)))]
+        else:
+            val = (str(rng.integers(10 ** 9)).encode() if rng.random() < 0.5
+                   else bytes(rng.integers(97, 123, size=int(rng.integers(4, 24)), dtype=np.uint8)))
+        # HPACK huffman-codes bare name/value strings (no line framing;
+        # CR/LF are 30/28-bit codes that never appear in legal values).
+        out += nm + val
+    return bytes(out[:n])
+
+
 def english_like_corpus(n: int, seed: int = 7) -> bytes:
     rng = np.random.default_rng(seed)
     alphabet = np.frombuffer(b" etaoinshrdlcumwfgypbvkjxqz.,;'\"!?-\n", dtype=np.uint8)
@@ -80,7 +111,7 @@ from bench import _loop_times
 # Default sampling window per corpus config. Shorter than bench.py's
 # headline window: the suite runs several configs and the per-config
 # number is already quoted with period-range caveats in BASELINE.md.
-WINDOW_S = 45.0
+WINDOW_S = 60.0
 
 
 def _loop_time(body, k_lo=9, k_hi=65, window_s=0.0):
@@ -293,7 +324,9 @@ def main():
     ap.add_argument("--stream-mb", type=float, default=64.0)
     ap.add_argument("--chunk-mb", type=float, default=1.0)
     ap.add_argument("--repeats", type=int, default=25)
-    ap.add_argument("--configs", default="canterbury,ascii_text,table_5_30,streaming")
+    ap.add_argument(
+        "--configs", default="canterbury,ascii_text,table_5_30,hpack,streaming"
+    )
     args = ap.parse_args()
 
     configs = args.configs.split(",")
@@ -348,6 +381,13 @@ def main():
         # K=512 decode index: the interleaved deep-table sweep measured
         # K=256 ~8% slower (BASELINE.md round-2 item 3).
         bench_corpus("table_5_30", corpus, t530, 512, args.repeats, emit)
+    elif config == "hpack":
+        # BASELINE config 1's production shape (round 4, VERDICT r3 #5):
+        # the real RFC 7541 table on header-like text — what the
+        # reference's downstream consumer actually runs.
+        table = th.load_hpack_table()
+        corpus = np.frombuffer(hpack_header_corpus(n), dtype=np.uint8)
+        bench_corpus("hpack", corpus, table, 512, args.repeats, emit)
     elif config == "streaming":
         table = th.load_static_test_table()
         bench_streaming(table, args.stream_mb, args.chunk_mb, emit)

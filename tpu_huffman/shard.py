@@ -40,6 +40,14 @@ from .ops.encode import DEFAULT_EOS_PADDING, DeviceTable
 from .tables import HuffmanTable
 
 
+def _bucket_pow2(per_dev: int, block_symbols: int) -> int:
+    """Round a shard size up to (pow2 multiple of block_symbols): nearby
+    input sizes then share one compiled shard program; excess lanes are
+    zero-padded and masked by n_valid."""
+    units = -(-per_dev // block_symbols)
+    return block_symbols * (1 << (units - 1).bit_length() if units > 1 else 1)
+
+
 def default_mesh(devices=None, axis: str = "data") -> Mesh:
     """A 1-D data mesh over all local devices (or the given ones)."""
     devices = jax.devices() if devices is None else devices
@@ -323,9 +331,12 @@ class MeshCodec:
             return b"", (empty if with_index else None)
 
         ndev = self._ndev
-        # Shard size: multiple of block_symbols so decode striping aligns.
+        # Shard size: multiple of block_symbols so decode striping aligns,
+        # bucketed to a power of two so nearby input sizes reuse one
+        # compiled shard program (round 4: the per-size retrace showed up
+        # as a recompile on every odd length).
         per_dev = -(-n // ndev)
-        per_dev = -(-per_dev // self.block_symbols) * self.block_symbols
+        per_dev = _bucket_pow2(per_dev, self.block_symbols)
         total_padded = per_dev * ndev
         padded = np.zeros(total_padded, dtype=np.uint8)
         padded[:n] = symbols
@@ -446,7 +457,7 @@ class MeshCodec:
             )
         ).reshape(-1)
         per_dev = max(bs, -(-int(lens.max()) // ld))
-        per_dev = -(-per_dev // bs) * bs
+        per_dev = _bucket_pow2(per_dev, bs)
         slab = np.zeros(ld * per_dev, np.uint8)
         slab[: local.size] = local
         nv_local = np.clip(
@@ -559,8 +570,8 @@ class MeshCodec:
 
     # ---- decode ----
 
-    def _pallas_decode_sharded(self, K: int, Wb: int, G: int):
-        key = (K, Wb, G)
+    def _pallas_decode_sharded(self, Kh: int, Wb: int, Wbh: int, G: int):
+        key = (Kh, Wb, Wbh, G)
         if key in self._pdec_cache:
             return self._pdec_cache[key]
         from .ops import pallas_decode as pd
@@ -569,15 +580,15 @@ class MeshCodec:
         axes = _flat_axes(self.mesh)
         spec = P(axes[0] if len(axes) == 1 else axes)
         body = functools.partial(
-            _shard_decode_body_pallas,
-            K=K, Wb=Wb, G=G,
+            _shard_decode_body_pallas_dual,
+            Kh=Kh, Wb=Wb, Wbh=Wbh, G=G,
             intervals=intervals,
             p32_flat=aux,
             interpret=pd._use_interpret(),
         )
         fn = jax.jit(
             jax.shard_map(
-                body, mesh=self.mesh, in_specs=(spec,) * 4,
+                body, mesh=self.mesh, in_specs=(spec,) * 5,
                 out_specs=(spec, spec), check_vma=False,
             )
         )
@@ -585,24 +596,28 @@ class MeshCodec:
         return fn
 
     def _decode_pallas(self, words_np: np.ndarray, index: BlockIndex) -> bytes:
-        """Stripe blocks over shards; each shard runs the Pallas pipeline."""
+        """Stripe index-block PAIRS over shards; each shard runs the
+        dual-chain Pallas pipeline (round 4, VERDICT r3 #7: the mesh path
+        previously drove the single-chain kernel — each lane now decodes
+        two interleaved Kh-symbol half-chains, the round-3 latency-bound
+        kernel win, reusing the same pairing plan as bench.py)."""
         from .ops import pallas_decode as pd
 
         ndev = self._ndev
-        K = index.symbols_per_block
-        B = index.bit_offsets.size
-        bpd = -(-B // ndev)
-        G = max(1, -(-bpd // pd.LANES))
+        Kh = index.symbols_per_block
+        off64 = index.bit_offsets.astype(np.int64)
+        baseg, relg, relmg, nsymg, nb, Wb, Wbh, _Gg = pd.pair_dual_inputs(
+            off64, index.n_symbols, index.total_bits, self.table, Kh
+        )
+        lpd = -(-nb // ndev)  # lanes (pairs) per device
+        G = max(1, -(-lpd // pd.LANES))
         Bp = G * pd.LANES
-        Wb = pd.plan_wb(index, self.table)
         NR = pd._rows_for(Wb)
 
-        off64 = index.bit_offsets.astype(np.int64)
-        first = np.minimum(np.arange(ndev) * bpd, B - 1)
-        word_base = off64[first] >> 5
-        # Window size: the farthest staging row any shard's block touches.
-        last = np.minimum((np.arange(ndev) + 1) * bpd, B) - 1
-        rel_last = (off64[last] >> 5) - word_base
+        lane_first = np.minimum(np.arange(ndev) * lpd, nb - 1)
+        word_base = baseg[lane_first].astype(np.int64)
+        lane_last = np.minimum((np.arange(ndev) + 1) * lpd, nb) - 1
+        rel_last = baseg[lane_last].astype(np.int64) - word_base
         wmax = int(rel_last.max()) + NR * pd.STAGE_RW + pd.STAGE_RW
         win = np.zeros((ndev, wmax), dtype=np.uint32)
         for s in range(ndev):
@@ -612,19 +627,25 @@ class MeshCodec:
 
         base = np.zeros((ndev, Bp), np.int32)
         rel = np.zeros((ndev, Bp), np.int32)
+        relm = np.zeros((ndev, Bp), np.int32)
         nsym = np.zeros((ndev, Bp), np.int32)
-        b_idx = np.arange(B)
-        s_of_b = np.minimum(b_idx // bpd, ndev - 1)
-        rel_bits = off64 - 32 * word_base[s_of_b]
-        flatpos = s_of_b * Bp + (b_idx - s_of_b * bpd)
-        base.reshape(-1)[flatpos] = (rel_bits >> 5).astype(np.int32)
-        rel.reshape(-1)[flatpos] = (rel_bits & 31).astype(np.int32)
-        nsym.reshape(-1)[flatpos] = index.n_symbols
+        l_idx = np.arange(nb)
+        s_of_l = np.minimum(l_idx // lpd, ndev - 1)
+        flatpos = s_of_l * Bp + (l_idx - s_of_l * lpd)
+        # rel/relm are word-relative to the pair's own base, so only base
+        # needs the shard-frame shift.
+        base.reshape(-1)[flatpos] = (
+            baseg[:nb].astype(np.int64) - word_base[s_of_l]
+        ).astype(np.int32)
+        rel.reshape(-1)[flatpos] = relg[:nb]
+        relm.reshape(-1)[flatpos] = relmg[:nb]
+        nsym.reshape(-1)[flatpos] = nsymg[:nb]
 
-        out, bad = self._pallas_decode_sharded(K, Wb, G)(
+        out, bad = self._pallas_decode_sharded(Kh, Wb, Wbh, G)(
             jnp.asarray(win).reshape(-1),
             jnp.asarray(base).reshape(-1),
             jnp.asarray(rel).reshape(-1),
+            jnp.asarray(relm).reshape(-1),
             jnp.asarray(nsym).reshape(-1),
         )
         if bool(jnp.any(bad > 0)):
@@ -636,14 +657,14 @@ class MeshCodec:
         else:
             out_np = np.asarray(out)
         flat = (
-            np.ascontiguousarray(out_np.reshape(ndev, Bp, K // 4))
+            np.ascontiguousarray(out_np.reshape(ndev, Bp, Kh // 2))
             .view(np.uint8)
-            .reshape(ndev, Bp, K)[:, :bpd]
-            .reshape(ndev * bpd, K)[:B]
+            .reshape(ndev, Bp, 2 * Kh)[:, :lpd]
+            .reshape(ndev * lpd, 2 * Kh)[:nb]
         )
-        if (index.n_symbols[:-1] == K).all():
+        if (nsymg[: nb - 1] == 2 * Kh).all():
             return flat.reshape(-1)[: index.total_symbols].tobytes()
-        mask = np.arange(K)[None, :] < index.n_symbols[:, None]
+        mask = np.arange(2 * Kh)[None, :] < nsymg[:nb, None]
         return flat[mask].tobytes()
 
     def decode(self, data: bytes | np.ndarray, index: BlockIndex) -> bytes:
@@ -716,18 +737,20 @@ class MeshCodec:
         return out[mask].tobytes()
 
 
-def _shard_decode_body_pallas(win, base, rel, nsym, *, K, Wb, G, intervals,
-                              p32_flat, interpret):
-    """Per-shard Pallas mini-block decode; under shard_map.
+def _shard_decode_body_pallas_dual(win, base, rel, relm, nsym, *, Kh, Wb,
+                                   Wbh, G, intervals, p32_flat, interpret):
+    """Per-shard dual-chain Pallas decode; under shard_map.
 
-    win: uint32[wmax] this shard's word window; base/rel/nsym: int32[G*1024]
-    per-lane (word index, bit-in-word, symbol count). Returns (packed symbol
-    tile flattened uint32[G*1024*K/4], bad int32[1] poison flag)."""
-    from .ops.pallas_decode import _decode_pipeline
+    win: uint32[wmax] this shard's word window; base/rel/relm/nsym:
+    int32[G*1024] per-LANE-PAIR (word index, half-0 bit, half-1 bit,
+    pair symbol count). Returns (packed symbol tile flattened
+    uint32[G*1024*Kh/2], bad int32[1] poison flag)."""
+    from .ops.pallas_decode import _decode_pipeline_dual
 
-    out, _end, bad = _decode_pipeline(
-        win.reshape(-1), base.reshape(-1), rel.reshape(-1), nsym.reshape(-1),
-        K, Wb, G, intervals, p32_flat, interpret,
+    out, _end, bad = _decode_pipeline_dual(
+        win.reshape(-1), base.reshape(-1), rel.reshape(-1),
+        relm.reshape(-1), nsym.reshape(-1),
+        Kh, Wb, Wbh, G, intervals, p32_flat, interpret,
     )
     return out.reshape(-1), bad.astype(jnp.int32)[None]
 
