@@ -108,7 +108,18 @@ def _loop_times(bodies, k_lo=9, k_hi=129, min_reps=6, window_s=0.0):
     return [(h - l) / (k_hi - k_lo) for h, l in zip(t_hi, t_lo)]
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache: timing excludes compiles (warmup +
+    loop-slope protocol); the cache only makes cold runs start faster."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/tpu_huffman_jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+
 def main():
+    _enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--mb", type=float, default=8.0, help="corpus size in MiB")
     ap.add_argument("--oracle-mb", type=float, default=4.0)

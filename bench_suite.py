@@ -31,6 +31,20 @@ import time
 import numpy as np
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache: timing excludes compiles (warmup +
+    loop-slope protocol), but a cold suite pays minutes of kernel compiles
+    per config process; the cache makes repeat runs feasible."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/tpu_huffman_jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+
+_enable_compile_cache()
+
+
 def mixed_lengths_5_30() -> dict[int, int]:
     """256-symbol Kraft-complete length assignment spanning 5..30 bits."""
     lens: dict[int, int] = {}

@@ -70,7 +70,7 @@ def test_chunk_resume_mid_stream(table):
     rng = np.random.default_rng(2)
     data = rng.integers(0, 256, size=1800, dtype=np.uint8).tobytes()
     enc = th.encode(data, table)
-    for cut in (700, 701, 1111):
+    for cut in (701, 1111):
         out1, end1 = selfsync.selfsync_decode_ex(enc[:cut], table, seg_words=4)
         rem = enc[end1 // 8 : cut]
         out2, _ = selfsync.selfsync_decode_ex(

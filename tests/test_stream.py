@@ -196,10 +196,15 @@ def test_chunked_random_data(table):
 # --- capacity-bounded bulk decode (round 2: SHORT_BUFFER at device speed) ---
 
 
+@pytest.mark.slow
 def test_decode_chunk_capped_bulk_path(monkeypatch):
     """Capacity-bounded decode_chunk rides the capped self-sync kernel for
     big retained streams: the reference's SHORT_BUFFER resume contract
-    (huffman.c:257-268, huffman_testing.c:75-173) off the scan kernel."""
+    (huffman.c:257-268, huffman_testing.c:75-173) off the scan kernel.
+    (Slow tier: each drain's shrinking remainder crosses a new padded-S
+    bucket, and every bucket's interpret-mode pipeline graph costs ~10 s
+    of compile-cache load on CPU. test_decode_chunk_capped_fast keeps a
+    single-bucket twin in the default gate.)"""
     from tpu_huffman import oracle as coracle
     from tpu_huffman import stream as stream_mod
     from tpu_huffman.ops import pallas_decode, selfsync
@@ -225,7 +230,7 @@ def test_decode_chunk_capped_bulk_path(monkeypatch):
     dec = th.HuffmanDecoder(table)
     odec = coracle.OracleDecoder(coracle.OracleTable(table))
     pending_o = enc
-    cap = 700
+    cap = 1600  # 3 capped rounds over the 4000-symbol stream
     res = dec.decode_chunk(enc, capacity=cap)
     out = res.data
     while True:
@@ -250,7 +255,10 @@ def test_selfsync_capped_matches_unbounded(monkeypatch):
     rng = np.random.default_rng(9)
     data = rng.integers(0, 256, size=2500, dtype=np.uint8).tobytes()
     enc = th.encode(data, table)
-    for cap in (64, 333, 2499, 2500, 9999):
+    # capacities: mid-byte resume chains (333), the cap==total-1/total
+    # edges, and cap>total in one call; a cap-64 long chain lives in the
+    # slow tier (test_words_capped_matches_host_capped).
+    for cap in (333, 2499, 2500, 9999):
         got = b""
         rem = enc
         start_bit = 0
@@ -316,7 +324,7 @@ def test_device_remainder_misaligned_appends(monkeypatch):
     dec = th.HuffmanDecoder(table)
     out = b""
     pos = 0
-    for step in (517, 101, 3, 1, 250, 999, 10_000):  # all % 4 phases
+    for step in (517, 102, 3, 250, 10_000):  # cumulative pos hits all %4 phases
         out += dec.decode_chunk(enc[pos : pos + step]).data
         pos += step
         if pos >= len(enc):
@@ -325,10 +333,13 @@ def test_device_remainder_misaligned_appends(monkeypatch):
     assert dec._dev.active  # stayed device-resident throughout
 
 
+@pytest.mark.slow
 def test_device_remainder_capped_drain_and_state(monkeypatch):
     """Feed once, drain by capacity: the remainder stays on device between
     calls (no host rebuild), compaction keeps the cursor bounded, and
-    state()/leftover_bits still materialize exactly."""
+    state()/leftover_bits still materialize exactly. (Slow tier: see
+    test_decode_chunk_capped_bulk_path; the default gate covers the
+    protocol with test_decode_chunk_capped_fast.)"""
     from tpu_huffman import stream as stream_mod
     from tpu_huffman.ops import pallas_decode, selfsync
 
@@ -347,11 +358,11 @@ def test_device_remainder_capped_drain_and_state(monkeypatch):
     enc = th.encode(data, table)
     dec = th.HuffmanDecoder(table)
     out = b""
-    res = dec.decode_chunk(enc, capacity=333)
+    res = dec.decode_chunk(enc, capacity=800)
     out += res.data
     while not res.done:
         assert dec._dev.active
-        res = dec.decode_chunk(b"", capacity=333)  # capacity < 64 ok too
+        res = dec.decode_chunk(b"", capacity=800)
         out += res.data
     assert out == data
     # leftover padding inspection materializes the (tiny) remainder
@@ -389,3 +400,47 @@ def test_words_capped_matches_host_capped():
             if not more:
                 break
         assert got == data, cap
+
+
+def test_decode_chunk_capped_fast(monkeypatch):
+    """Default-gate twin of the slow capped-protocol tests: ONE capped
+    drain + resume over a stream sized to share the 2500-byte tests'
+    compile bucket, device-resident throughout, every chunk compared to
+    the C++ oracle."""
+    from tpu_huffman import oracle as coracle
+    from tpu_huffman import stream as stream_mod
+    from tpu_huffman.ops import pallas_decode, selfsync
+
+    table = th.load_static_test_table()
+    monkeypatch.setattr(pallas_decode, "_on_tpu", lambda: True)
+    monkeypatch.setattr(stream_mod, "BULK_DECODE_THRESHOLD", 256)
+    orig = selfsync.selfsync_decode_capped_words
+
+    def small(buf, nbytes, consumed_bit, tab, capacity,
+              seg_words=selfsync.SEG_WORDS):
+        return orig(buf, nbytes, consumed_bit, tab, capacity, seg_words=4)
+
+    monkeypatch.setattr(selfsync, "selfsync_decode_capped_words", small)
+    rng = np.random.default_rng(9)
+    data = rng.integers(0, 256, size=2500, dtype=np.uint8).tobytes()
+    enc = th.encode(data, table)
+    dec = th.HuffmanDecoder(table)
+    odec = coracle.OracleDecoder(coracle.OracleTable(table))
+    pending_o = enc
+    out = b""
+    cap = 1600
+    res = dec.decode_chunk(enc, capacity=cap)
+    while True:
+        o_out, o_consumed, o_done = odec.decode_chunk(pending_o, cap)
+        pending_o = pending_o[o_consumed:]
+        assert res.data == o_out
+        out += res.data
+        if res.done:
+            break
+        assert dec._dev.active
+        res = dec.decode_chunk(b"", capacity=cap)
+    assert out == data
+    st = dec.state()
+    dec2 = th.HuffmanDecoder(table)
+    dec2.load_state(st)
+    assert dec2.decode_chunk(b"").data == b""

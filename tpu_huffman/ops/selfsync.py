@@ -540,8 +540,8 @@ def _segments_from_words(jwords, table: HuffmanTable, seg_words: int,
     if dense:
         body_pad, small, raw = _segments_pipeline_dense(
             jwords, jnp.int32(w0), jnp.int32(start_bit),
-            jnp.asarray(table.lengths.astype(np.int32)),
-            need_words=need_words, S=S, G=G, seg_words=seg_words,
+            jnp.asarray(table.lengths.astype(np.int32)), jnp.int32(S),
+            need_words=need_words, G=G, seg_words=seg_words,
             S_dl=S_dl, max_syms=max_syms, intervals=intervals, aux=aux,
             interpret=interp,
         )
@@ -599,8 +599,8 @@ def _segments_from_words(jwords, table: HuffmanTable, seg_words: int,
         # (pathological self-sync or a poisoned chain, where exact bad-bit
         # semantics matter).
         fast = jax.device_get(_segments_pipeline_fast(
-            jwords, jnp.int32(w0), jnp.int32(start_bit),
-            need_words=need_words, S=S, G=G, seg_words=seg_words, S_dl=S_dl,
+            jwords, jnp.int32(w0), jnp.int32(start_bit), jnp.int32(S),
+            need_words=need_words, G=G, seg_words=seg_words, S_dl=S_dl,
             max_syms=max_syms, intervals=intervals, aux=aux, interpret=interp,
         ))
     def repair_fn(idx: np.ndarray, entries_r: np.ndarray):
@@ -825,11 +825,11 @@ PATCH_SYMS = 32
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "need_words", "S", "G", "seg_words", "S_dl", "max_syms", "intervals",
+        "need_words", "G", "seg_words", "S_dl", "max_syms", "intervals",
         "aux", "interpret",
     ),
 )
-def _segments_pipeline_fast(buf, w0, start_bit, *, need_words, S, G,
+def _segments_pipeline_fast(buf, w0, start_bit, rs, *, need_words, G,
                             seg_words, S_dl, max_syms, intervals, aux,
                             interpret):
     """One-pass + patch device program (round 3, VERDICT r2 #7).
@@ -857,7 +857,7 @@ def _segments_pipeline_fast(buf, w0, start_bit, *, need_words, S, G,
     out0, exits0, bad0, offs0, blast0 = call_full(jwin, entries0.reshape(G, 8, 128))
     exits0 = exits0.reshape(-1)
     entries1 = jnp.concatenate([e0[None], exits0[:-1] - seg_words * 32])
-    entries1 = jnp.where(seg_idx < S, entries1, 0)
+    entries1 = jnp.where(seg_idx < rs, entries1, 0)
     outA, exitsA, badA = call_patch(jwin, entries1.reshape(G, 8, 128))
 
     def rows(out, k4):
@@ -875,16 +875,8 @@ def _segments_pipeline_fast(buf, w0, start_bit, *, need_words, S, G,
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "need_words", "S", "G", "seg_words", "S_dl", "max_syms", "intervals",
-        "aux", "interpret",
-    ),
-)
-def _segments_pipeline_dense(buf, w0, start_bit, lengths, *, need_words, S,
-                             G, seg_words, S_dl, max_syms, intervals, aux,
-                             interpret):
+def _dense_core(buf, w0, start_bit, lengths, rs, *, need_words, G, seg_words,
+                S_dl, max_syms, intervals, aux, interpret):
     """One-pass + patch + DEVICE merge-stitch (round 4, VERDICT r3 #2b/c).
 
     The round-3 fast path downloaded per-symbol pass-0 boundary offsets
@@ -909,22 +901,25 @@ def _segments_pipeline_dense(buf, w0, start_bit, lengths, *, need_words, S,
     seg_bits = seg_words * 32
     K4 = -(-max_syms // 4)
     raw = _segments_pipeline_fast(
-        buf, w0, start_bit, need_words=need_words, S=S, G=G,
+        buf, w0, start_bit, rs, need_words=need_words, G=G,
         seg_words=seg_words, S_dl=S_dl, max_syms=max_syms,
         intervals=intervals, aux=aux, interpret=interpret,
     )
     rows0, rowsA, offs0, exits0, exitsA, blast0, badA, entries1 = raw
+    # All shapes run at the padded S_dl bucket (pow2): the REAL segment
+    # count ``rs`` is traced, so every chunked-stream size in a bucket
+    # shares one compilation (round 4: exact-S static args recompiled the
+    # whole pipeline on every streaming drain as the remainder shrank).
     syms0 = jax.lax.bitcast_convert_type(rows0, jnp.uint8).reshape(S_dl, 4 * K4)
     symsA = jax.lax.bitcast_convert_type(rowsA, jnp.uint8).reshape(S_dl, A)
     o16 = jax.lax.bitcast_convert_type(offs0, jnp.uint16).reshape(S_dl, 4 * K4)
-    starts0 = o16[:, :max_syms].astype(jnp.int32)[:S]
-    syms0 = syms0[:S]
-    symsA = symsA[:S]
-    exits0 = exits0[:S].astype(jnp.int32)
-    exitsA = exitsA[:S].astype(jnp.int32)
-    blast0 = blast0[:S].astype(jnp.int32)
-    badA_s = badA[:S]
-    e1 = entries1[:S].astype(jnp.int32)
+    starts0 = o16[:, :max_syms].astype(jnp.int32)
+    active = jnp.arange(S_dl, dtype=jnp.int32) < rs
+    exits0 = exits0.astype(jnp.int32)
+    exitsA = exitsA.astype(jnp.int32)
+    blast0 = blast0.astype(jnp.int32)
+    badA_s = badA
+    e1 = entries1.astype(jnp.int32)
 
     count0 = jnp.sum((starts0 < seg_bits).astype(jnp.int32), axis=1)
     lensA = jnp.take(lengths, symsA.astype(jnp.int32), axis=0).astype(jnp.int32)
@@ -942,7 +937,7 @@ def _segments_pipeline_dense(buf, w0, start_bit, lengths, *, need_words, S,
         j_iota16 < count0[:, None, None]
     )
     j_min = jnp.min(jnp.where(eq, j_iota16, big), axis=2)
-    a_iota = jax.lax.broadcasted_iota(jnp.int32, (S, A), 1)
+    a_iota = jax.lax.broadcasted_iota(jnp.int32, (S_dl, A), 1)
     hit = (j_min < big) & (a_iota < countA[:, None])
     any_hit = jnp.any(hit, axis=1)
     i_s = jnp.where(any_hit, jnp.argmax(hit, axis=1).astype(jnp.int32), 0)
@@ -956,22 +951,23 @@ def _segments_pipeline_dense(buf, w0, start_bit, lengths, *, need_words, S,
     resolved = (badA_s == 0) & (
         use_tail | (reached_end & (exitsA == exits0))
     )
+    resolved = resolved | ~active
     all_ok = jnp.all(resolved)
 
     i_eff = jnp.where(use_tail, i_s, countA)
-    counts = i_eff + jnp.where(use_tail, count0 - j_s, 0)
+    counts = jnp.where(active, i_eff + jnp.where(use_tail, count0 - j_s, 0), 0)
 
     # ---- dense assembly: out = concat_s(patch[s,:i_eff] + pass0[s,j_s:count0])
-    comb = jnp.concatenate([symsA, syms0], axis=1)  # (S, A + 4*K4)
+    comb = jnp.concatenate([symsA, syms0], axis=1)  # (S_dl, A + 4*K4)
     stride = A + 4 * K4
     pos_seg, total = _exclusive_cumsum_blocks(counts)
-    N_pad = S * (max_syms + A)
+    N_pad = S_dl * (max_syms + A)
     # per-output-slot owner data via scatter-of-deltas + cumsum (the encode
     # gather-tail expansion): channels = segment base in comb_flat, segment
     # output start, i_eff, A + j_s.
     vals = jnp.stack(
         [
-            jnp.arange(S, dtype=jnp.int32) * stride,
+            jnp.arange(S_dl, dtype=jnp.int32) * stride,
             pos_seg,
             i_eff,
             jnp.int32(A) + j_s,
@@ -995,23 +991,90 @@ def _segments_pipeline_dense(buf, w0, start_bit, lengths, *, need_words, S,
     t_iota = jnp.arange(N_pad, dtype=jnp.int32)
     u = t_iota - P
     col = jnp.where(u < F, u, u - F + Jt)
-    src = jnp.clip(base_f + col, 0, S * stride - 1)
-    body_pad = jnp.take(comb.reshape(S * stride), src)
-    last_exit = exits0[S - 1]
-
-    def pad_sdl(x, dtype=jnp.int32):
-        return jnp.zeros((S_dl,), dtype).at[:S].set(x.astype(dtype))
+    src = jnp.clip(base_f + col, 0, S_dl * stride - 1)
+    body_pad = jnp.take(comb.reshape(S_dl * stride), src)
+    last_exit = jnp.take(exits0, jnp.clip(rs - 1, 0, S_dl - 1))
 
     small = (
         total,
         all_ok,
         last_exit,
-        pad_sdl(counts),
-        pad_sdl(resolved, jnp.bool_),
-        pad_sdl(e1),
-        pad_sdl(exits0),
+        counts,
+        resolved,
+        e1,
+        exits0,
+    )
+    cut = dict(counts=counts, pA=pA, starts0=starts0, i_eff=i_eff, j_s=j_s)
+    return body_pad, small, raw, cut
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "need_words", "G", "seg_words", "S_dl", "max_syms", "intervals",
+        "aux", "interpret",
+    ),
+)
+def _segments_pipeline_dense(buf, w0, start_bit, lengths, rs, *, need_words,
+                             G, seg_words, S_dl, max_syms, intervals, aux,
+                             interpret):
+    body_pad, small, raw, _cut = _dense_core(
+        buf, w0, start_bit, lengths, rs, need_words=need_words, G=G,
+        seg_words=seg_words, S_dl=S_dl, max_syms=max_syms,
+        intervals=intervals, aux=aux, interpret=interpret,
     )
     return body_pad, small, raw
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "need_words", "G", "seg_words", "S_dl", "max_syms", "intervals",
+        "aux", "interpret",
+    ),
+)
+def _segments_pipeline_dense_capped(buf, w0, start_bit, lengths, rs,
+                                    capacity, *, need_words, G, seg_words,
+                                    S_dl, max_syms, intervals, aux,
+                                    interpret):
+    """Dense pipeline + the capacity cut computed ON DEVICE (round 4,
+    VERDICT r3 #8): the capped streaming drain needs (emitted symbols,
+    resume bit, more) — with the cut segment and its boundary bit found
+    here, one dispatch + one batched transfer covers the whole call
+    (the classic path re-downloaded per-symbol starts to cut on host).
+
+    ``capacity`` is traced (no recompile per drain size). Returns
+    (body_pad, small, raw, cut_small) with cut_small = (over bool,
+    end_bit_cut i32 view-relative, total i32).
+    """
+    body_pad, small, raw, cut = _dense_core(
+        buf, w0, start_bit, lengths, rs, need_words=need_words, G=G,
+        seg_words=seg_words, S_dl=S_dl, max_syms=max_syms,
+        intervals=intervals, aux=aux, interpret=interpret,
+    )
+    counts = cut["counts"]
+    seg_bits = seg_words * 32
+    cumc = jnp.cumsum(counts)
+    total = small[0]
+    cap = capacity.astype(jnp.int32)
+    over = total > cap
+    # segment holding symbol #cap (0-based), and the offset within it
+    s_c = jnp.sum((cumc <= cap).astype(jnp.int32))
+    s_cc = jnp.clip(s_c, 0, S_dl - 1)
+    before = jnp.where(s_c > 0, cumc[jnp.clip(s_c - 1, 0, S_dl - 1)], 0)
+    within = cap - before
+    i_eff_c = cut["i_eff"][s_cc]
+    head = within < i_eff_c
+    jcol = jnp.clip(
+        cut["j_s"][s_cc] + within - i_eff_c, 0, max_syms - 1
+    )
+    bitrel = jnp.where(
+        head,
+        cut["pA"][s_cc, jnp.clip(within, 0, PATCH_SYMS - 1)],
+        cut["starts0"][s_cc, jcol],
+    )
+    end_bit_cut = s_cc * jnp.int32(seg_bits) + bitrel
+    return body_pad, small, raw, (over, end_bit_cut, total)
 
 
 @functools.partial(
@@ -1176,6 +1239,52 @@ def selfsync_decode_capped_words(
     prefix_bits = total_bits if full else prefix_words * 32
 
     plan = _plan_segments(prefix_bits, seg_words)
+    if plan is not None:
+        # Dense-capped fast path (round 4): merge-stitch, compaction AND
+        # the capacity cut all on device — one dispatch plus one batched
+        # transfer of (capacity-sized body slice, O(segments) metadata)
+        # per drain call. Unresolved/corrupt streams fall through to the
+        # classic path below, which owns exact error semantics.
+        from .pallas_decode import decode_dispatch
+
+        S, G, Bp, seg_bits, need_words = plan
+        intervals, aux = decode_dispatch(table)
+        interp = _use_interpret()
+        min_len = max(int(table.min_len), 1)
+        max_syms = -(-((seg_bits + table.max_len) // min_len + 1) // 4) * 4
+        S_dl = min(Bp, max(16, 1 << (S - 1).bit_length()))
+        jwords = buf
+        if jwords.shape[0] < w0 + need_words:
+            jwords = jnp.pad(jwords, (0, w0 + need_words - jwords.shape[0]))
+        body_pad, small, _raw, cut_small = _segments_pipeline_dense_capped(
+            jwords, jnp.int32(w0), jnp.int32(sb),
+            jnp.asarray(table.lengths.astype(np.int32)), jnp.int32(S),
+            jnp.int32(min(capacity, 1 << 30)),
+            need_words=need_words, G=G, seg_words=seg_words,
+            S_dl=S_dl, max_syms=max_syms, intervals=intervals, aux=aux,
+            interpret=interp,
+        )
+        cap_slice = min(int(capacity), S * (max_syms + PATCH_SYMS))
+        body_cap, sm, cs = jax.device_get(
+            (body_pad[:cap_slice], small, cut_small)
+        )
+        total_body, all_ok, last_exit = int(sm[0]), bool(sm[1]), int(sm[2])
+        over, end_cut, _tot = bool(cs[0]), int(cs[1]), int(cs[2])
+        if all_ok:
+            if over:
+                return (
+                    body_cap[:capacity].tobytes(),
+                    base + end_cut,
+                    True,
+                )
+            out = body_cap[:total_body].tobytes()
+            tail_start_bit = S * seg_bits + last_exit - seg_bits
+            budget = capacity - total_body
+            tail, end, more = host_capped(tail_start_bit, budget, prefix_bits)
+            if not more and not full:
+                tail, end, more = host_capped(tail_start_bit, budget, total_bits)
+            return out + tail, base + end, more
+
     seg = None
     if plan is not None:
         S, G, Bp, seg_bits, need_words = plan
