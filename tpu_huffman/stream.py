@@ -144,8 +144,10 @@ class HuffmanEncoder:
             i = int(bad[0])
             raise UnknownSymbolError(index=i, symbol=int(symbols[i]))
 
-        ends = np.cumsum(lens) + self._carry_len
-        total_bits = int(ends[-1]) if n else self._carry_len
+        # The per-symbol prefix sum is only needed to CUT at a capacity
+        # boundary; unbounded bulk calls skip it (round 4: it was O(chunk)
+        # host work on every streaming call).
+        total_bits = int(lens.sum()) + self._carry_len
         if total_bits == 0:
             return EncodeResult(b"", 0, True)
         writable = None if capacity is None else 8 * int(capacity)
@@ -155,6 +157,7 @@ class HuffmanEncoder:
             self._carry_pattern = 0
             self._carry_len = 0
             return EncodeResult(out, n, True)
+        ends = np.cumsum(lens) + self._carry_len
 
         # Short-buffer path: emit exactly `capacity` full bytes.
         if writable == 0:
