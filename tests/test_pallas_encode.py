@@ -258,3 +258,21 @@ def test_gather_tail_dmin_hint_violation_reruns(monkeypatch):
     got, _bits = pallas_encode.encode(data.tobytes(), tbl)
     assert got == want
     assert getattr(tbl, "_dmin_hint") < 99
+
+
+def test_out_cap_hint_violation_reruns():
+    """A too-small learned output-rate hint (from more compressible data)
+    must trip the output-overflow flag and re-run with the static buffer,
+    still bit-exact (round 4: span-adaptive output buffer)."""
+    table = th.load_static_test_table()
+    rng = np.random.default_rng(51)
+    data = rng.integers(0, 256, size=1000, dtype=np.uint8).tobytes()
+    want = _host_encode(data, table)
+    object.__setattr__(table, "_rate_hint", 0.01)  # absurd: ~0 bits/symbol
+    object.__setattr__(table, "_wb_hint", None)
+    object.__setattr__(table, "_dmin_hint", None)
+    try:
+        got, _bits = pallas_encode.encode(data, table)
+    finally:
+        object.__setattr__(table, "_rate_hint", None)
+    assert got == want
