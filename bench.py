@@ -113,7 +113,7 @@ def _enable_compile_cache():
     loop-slope protocol); the cache only makes cold runs start faster."""
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/tpu_huffman_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/tpu_huffman_jax_cache_tpu")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 

@@ -21,7 +21,10 @@ if not os.environ.get("TPU_HUFFMAN_TEST_TPU"):
 
     # Persistent compilation cache: the suite is compile-dominated (every
     # interpret-mode Pallas tier re-jits per process), so cache XLA
-    # executables across runs. Keyed by jaxlib version + HLO; safe to share.
-    jax.config.update("jax_compilation_cache_dir", "/tmp/tpu_huffman_jax_cache")
+    # executables across runs. The directory is CPU-suite-private: the TPU
+    # bench processes embed different host CPU feature baselines in their
+    # CPU executables (the axon remote-compile helper), and loading such an
+    # entry aborts the process (observed round 4).
+    jax.config.update("jax_compilation_cache_dir", "/tmp/tpu_huffman_jax_cache_cpu")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)

@@ -527,6 +527,13 @@ def _segments_from_words(jwords, table: HuffmanTable, seg_words: int,
     max_syms = (seg_bits + table.max_len) // min_len + 1
     max_syms = -(-max_syms // 4) * 4
     K4 = -(-max_syms // 4)
+    if intervals is None:
+        # Non-range-monotone tables use the predecessor-search decoder,
+        # whose much larger per-symbol select trees inlined TWICE into the
+        # dense merge-stitch graph send XLA's optimizer into a
+        # multi-hour compile (observed on CPU, round 4). The classic
+        # host-stitch path below compiles and runs fine for them.
+        dense = False
     # Download only ~S rows: the grid pads S up to Bp (pow2 buckets); a
     # whole-buffer download costs up to 27x the emitted bytes over this
     # rig's tunnel. S_dl buckets the slice shape to reuse compiles.
@@ -1238,15 +1245,17 @@ def selfsync_decode_capped_words(
     full = prefix_words == view_words
     prefix_bits = total_bits if full else prefix_words * 32
 
+    from .pallas_decode import decode_dispatch
+
     plan = _plan_segments(prefix_bits, seg_words)
-    if plan is not None:
+    # Dense needs the interval decoder (see _segments_from_words: the
+    # predecessor form's inlined select trees blow up the XLA compile).
+    if plan is not None and decode_dispatch(table)[0] is not None:
         # Dense-capped fast path (round 4): merge-stitch, compaction AND
         # the capacity cut all on device — one dispatch plus one batched
         # transfer of (capacity-sized body slice, O(segments) metadata)
         # per drain call. Unresolved/corrupt streams fall through to the
         # classic path below, which owns exact error semantics.
-        from .pallas_decode import decode_dispatch
-
         S, G, Bp, seg_bits, need_words = plan
         intervals, aux = decode_dispatch(table)
         interp = _use_interpret()
