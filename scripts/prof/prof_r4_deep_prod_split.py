@@ -62,9 +62,14 @@ nsym = jnp.asarray(nsym_np)
 symbols = jnp.asarray(data_np)
 pad_to = B * K
 interp = pe._use_interpret()
-nb = -(-N // K)
-nrows_f = -(-(Wb + fuse_sw) // fuse_sw) if fuse_sw else 0
-merge_jmax = (nrows_f - 1) // gdmin if gdmin else 0
+# Mirror _encode_pipeline's guard: the gather tail exists only under the
+# fused stitch (fuse_sw > 0); otherwise the production plan drops both.
+if gdmin and fuse_sw:
+    nrows_f = -(-(Wb + fuse_sw) // fuse_sw)
+    merge_jmax = (nrows_f - 1) // gdmin
+else:
+    gdmin = 0
+    merge_jmax = 0
 call = pe._make_pack_call(
     p32t, lent, K, Wb, G, min_len, max_len, interp, S, fuse_sw,
     merge_jmax=merge_jmax, dmin_rows=gdmin,
