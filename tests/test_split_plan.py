@@ -1,0 +1,153 @@
+"""Split-plan encode (round 5): kernels planned on the DATA's code-length
+envelope, not the table's worst case.
+
+The RFC 7541 HPACK table holds 30-bit codes for bytes that never appear
+in legal header text; a real header stream is ~all 5-10-bit codes. The
+split plan caps the pack kernel at the data's max code length — deeper
+symbols become length-0 entries whose bad flag forces a full-plan re-run
+— while the one-shot driver computes the exact envelope per call so no
+re-run can trigger there. Reference semantics are unchanged throughout
+(bit-identical streams, source/huffman.c:131-187; unknown-symbol raise,
+source/huffman.c:62-64).
+"""
+
+import numpy as np
+import pytest
+
+import tpu_huffman as th
+from tpu_huffman.errors import UnknownSymbolError
+from tpu_huffman.ops import pallas_encode
+from tpu_huffman.ops.encode import best_encode_step
+from tpu_huffman.stream import HuffmanEncoder
+
+
+@pytest.fixture(scope="module")
+def hpack():
+    return th.load_hpack_table()
+
+
+@pytest.fixture(scope="module")
+def partial_table():
+    # 5..18-bit canonical table covering only 40 symbols: symbols >= 40
+    # are UNKNOWN (length 0), exercising the unknown-vs-too-deep split.
+    lens = {s: 6 for s in range(32)}
+    lens.update({32 + i: 10 + i for i in range(8)})
+    return th.make_canonical(lens, name="split_partial")
+
+
+def _host_encode(data, table):
+    return HuffmanEncoder(table).encode(bytes(data))
+
+
+def test_plan_caps_deep_entries(hpack):
+    p32t, lent, min_len, max_len, _wb, _g, _now = pallas_encode._plan(
+        hpack, 1024, K=32, maxlen_cap=10
+    )
+    assert max_len == 10 and min_len == int(hpack.min_len)
+    deep = np.asarray(lent) == 0
+    assert deep.any()
+    assert (np.asarray(p32t)[deep] == 0).all()
+    # symbols at or under the cap keep their exact entries
+    kept = ~deep
+    assert (np.asarray(lent)[kept] == hpack.lengths[kept]).all()
+
+
+def test_plan_cap_noop_when_unattainable(hpack):
+    full = pallas_encode._plan(hpack, 1024, K=32)
+    for cap in (int(hpack.max_len), 99):
+        capped = pallas_encode._plan(hpack, 1024, K=32, maxlen_cap=cap)
+        assert capped[:4] == full[:4]
+
+
+def test_one_shot_exact_with_and_without_deep_codes(hpack):
+    rng = np.random.default_rng(5)
+    shallow_syms = np.flatnonzero(hpack.lengths <= 8)
+    data = rng.choice(shallow_syms, size=2048).astype(np.uint8)
+    got, _ = pallas_encode.encode(data.tobytes(), hpack)
+    assert got == _host_encode(data, hpack)
+    # same data with one deep (30-bit) code spliced in: the exact
+    # envelope re-plans deep and stays bit-identical
+    deep_sym = int(np.argmax(hpack.lengths))
+    data2 = data.copy()
+    data2[137] = deep_sym
+    got2, _ = pallas_encode.encode(data2.tobytes(), hpack)
+    assert got2 == _host_encode(data2, hpack)
+
+
+def test_encode_step_shallow_miss_raises_overflow(hpack):
+    rng = np.random.default_rng(6)
+    shallow_syms = np.flatnonzero(hpack.lengths <= 8)
+    data = rng.choice(shallow_syms, size=2048).astype(np.uint8)
+    _enc, fin = pallas_encode.encode_step(hpack, data.size, maxlen_cap=8)
+    import jax.numpy as jnp
+
+    w, total, padded = fin(jnp.asarray(data))
+    ref = _host_encode(data, hpack)
+    from tpu_huffman.ops.bitpack import bytes_from_words_np
+
+    assert bytes_from_words_np(np.asarray(w), int(padded) // 8) == ref
+    # a deeper-than-cap code trips the bad flag; finalize resolves it to
+    # OverflowError (re-plan), NOT UnknownSymbolError
+    data2 = data.copy()
+    data2[0] = int(np.argmax(hpack.lengths))
+    with pytest.raises(OverflowError):
+        fin(jnp.asarray(data2))
+
+
+def test_encode_step_shallow_unknown_still_raises(partial_table):
+    rng = np.random.default_rng(7)
+    data = rng.integers(0, 32, size=1024, dtype=np.uint8)
+    _enc, fin = pallas_encode.encode_step(
+        partial_table, data.size, maxlen_cap=6
+    )
+    import jax.numpy as jnp
+
+    data2 = data.copy()
+    data2[100] = 200  # no code at all
+    with pytest.raises(UnknownSymbolError):
+        fin(jnp.asarray(data2))
+
+
+def test_best_encode_step_derives_cap_from_sample(hpack):
+    rng = np.random.default_rng(8)
+    shallow_syms = np.flatnonzero(hpack.lengths <= 8)
+    data = rng.choice(shallow_syms, size=2048).astype(np.uint8)
+    import jax.numpy as jnp
+
+    enc, fin = best_encode_step(hpack, data.size, sample=data)
+    w, total, padded = fin(jnp.asarray(data))
+    from tpu_huffman.ops.bitpack import bytes_from_words_np
+
+    assert bytes_from_words_np(np.asarray(w), int(padded) // 8) == \
+        _host_encode(data, hpack)
+
+
+def test_hint_key_invalidates_across_plans(hpack):
+    # learn hints under the shallow plan, then encode deep data: the
+    # (K, cap) hint key must not leak shallow span hints into the deep
+    # plan (they would be wrong for its K/S shape).
+    rng = np.random.default_rng(9)
+    shallow_syms = np.flatnonzero(hpack.lengths <= 8)
+    d1 = rng.choice(shallow_syms, size=2048).astype(np.uint8)
+    pallas_encode.encode(d1.tobytes(), hpack)
+    key1 = getattr(hpack, "_hint_key", None)
+    d2 = rng.integers(0, 256, size=2048, dtype=np.uint8)
+    got, _ = pallas_encode.encode(d2.tobytes(), hpack)
+    assert got == _host_encode(d2, hpack)
+    key2 = getattr(hpack, "_hint_key", None)
+    assert key1 != key2  # deep envelope re-keyed the hints
+
+
+def test_offsets_granularity_consistent_under_cap(hpack):
+    rng = np.random.default_rng(10)
+    shallow_syms = np.flatnonzero(hpack.lengths <= 8)
+    data = rng.choice(shallow_syms, size=2048).astype(np.uint8)
+    every = pallas_encode.index_granularity(hpack)
+    out, total_bits, offsets = pallas_encode.encode_with_offsets(
+        data.tobytes(), hpack, every=every
+    )
+    assert out == _host_encode(data, hpack)
+    # offsets must be the true bit starts of every `every`-th symbol
+    lens = hpack.lengths[data].astype(np.int64)
+    starts = np.cumsum(lens) - lens
+    assert (offsets.astype(np.int64) == starts[::every]).all()

@@ -367,25 +367,40 @@ def best_encode_step(table: HuffmanTable, n: int, block_symbols: int = 192,
     from . import pallas_encode
 
     if pallas_encode.supports(table):
-        wb_hint = dmin_hint = out_hint = None
+        wb_hint = dmin_hint = out_hint = maxlen_cap = None
         K = None
         if sample is not None:
+            sample_arr = (
+                np.frombuffer(bytes(sample), dtype=np.uint8)
+                if isinstance(sample, (bytes, bytearray))
+                else np.asarray(sample, dtype=np.uint8)
+            )
+            # Split plan (round 5): cap the kernel at the sample's max
+            # code length — real HPACK header text never touches the RFC
+            # 7541 table's 30-bit codes, and the cap restores the whole
+            # shallow-table kernel (fused16 LUT, 1-word pair fusion).
+            # finalize_fn resolves a cap miss post-timing.
+            if sample_arr.size:
+                eff = int(table.lengths[sample_arr].max())
+                if 0 < eff < int(table.max_len):
+                    maxlen_cap = eff
             # With a sample, prefer the larger fast-K plan when its
             # span-adaptive buffers stay in the compile-safe envelope
             # (the worst-case buffer at fast K may not compile; the
             # hinted one does, and finalize_fn flags hint overflows).
-            kf = pallas_encode.pack_k_fast(table)
-            if kf != pallas_encode.pack_k(table):
+            kf = pallas_encode.pack_k_fast(table, maxlen_cap)
+            if kf != pallas_encode.pack_k(table, maxlen_cap):
                 wb_f = pallas_encode.plan_wb_encode(table, sample, K=kf)
                 if wb_f <= 512:
                     K = kf
-            K = K or pallas_encode.pack_k(table)
+            K = K or pallas_encode.pack_k(table, maxlen_cap)
             wb_hint = pallas_encode.plan_wb_encode(table, sample, K=K)
             dmin_hint = pallas_encode.plan_dmin_encode(table, sample, K=K)
             out_hint = pallas_encode.plan_out_encode(table, sample, n)
         return pallas_encode.encode_step(
             table, n, block_symbols, K=K, wb_hint=wb_hint,
             dmin_hint=dmin_hint, out_bits_hint=out_hint,
+            maxlen_cap=maxlen_cap,
         )
 
     dt = DeviceTable.for_table(table)

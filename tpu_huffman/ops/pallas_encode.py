@@ -915,27 +915,47 @@ def _use_interpret() -> bool:
 
 
 def _plan(table: HuffmanTable, n: int, K: int = 32, wb_cap: int | None = None,
-          exact_out: bool = False, out_cap_bits: int | None = None):
+          exact_out: bool = False, out_cap_bits: int | None = None,
+          maxlen_cap: int | None = None):
     # Direct per-symbol tables (hashable tuples: they key the lru-cached
     # pallas_call): left-aligned pattern and code length, length 0 =
     # unknown symbol (the reference coder contract, huffman.h:34-36).
-    if n * int(table.max_len) >= 1 << 31:
+    #
+    # maxlen_cap (round 5, split-plan encode): plan the kernel on the
+    # DATA's code-length envelope instead of the table's worst case.
+    # Symbols with codes longer than the cap become length-0 entries, so
+    # the kernel's bad flag fires if one appears and the caller re-runs
+    # with the full plan (exact-cap callers like _run never need to).
+    # A real HPACK stream is ~all 5-10-bit codes while the RFC 7541 table
+    # holds 30-bit codes for bytes that never occur in legal header text;
+    # the cap restores the fused16 one-gather LUT, single-word pair
+    # fusion, the fused stitch, and small windows — the whole shallow-
+    # table kernel — on the production workload.
+    lengths = table.lengths.astype(np.int64)
+    eff_lens = lengths
+    if maxlen_cap is not None:
+        retained = lengths[(lengths > 0) & (lengths <= maxlen_cap)]
+        if retained.size == 0 or maxlen_cap >= int(table.max_len):
+            maxlen_cap = None
+        else:
+            eff_lens = np.where(lengths <= maxlen_cap, lengths, 0)
+    eff_max = int(eff_lens.max()) if (eff_lens > 0).any() else int(table.max_len)
+    if n * eff_max >= 1 << 31:
         # Device bit offsets are int32; a single call is bounded at 2^31
         # output bits (~256 MiB encoded). The reference's size_t has no
         # such bound — larger inputs go through the streaming protocol
         # (HuffmanEncoder.encode_chunk), whose chunks re-enter here.
         raise ValueError(
             f"input of {n} symbols may exceed 2^31 encoded bits "
-            f"(max code length {int(table.max_len)}); feed it through "
+            f"(max code length {eff_max}); feed it through "
             "HuffmanEncoder.encode_chunk in smaller pieces"
         )
-    lengths = table.lengths.astype(np.int64)
     patterns = table.patterns.astype(np.uint64)
-    shift = (32 - np.minimum(lengths, 32)).astype(np.uint64)
-    p32 = np.where(lengths > 0, (patterns << shift) & 0xFFFFFFFF, 0)
+    shift = (32 - np.minimum(eff_lens, 32)).astype(np.uint64)
+    p32 = np.where(eff_lens > 0, (patterns << shift) & 0xFFFFFFFF, 0)
     p32t = tuple(int(v) for v in p32)
-    lent = tuple(int(v) for v in lengths)
-    lens = table.lengths[table.lengths > 0]
+    lent = tuple(int(v) for v in eff_lens)
+    lens = eff_lens[eff_lens > 0]
     min_len = int(lens.min())
     max_len = int(lens.max())
     Wb = -(-(K * max_len) // 32)
@@ -970,7 +990,19 @@ def _plan(table: HuffmanTable, n: int, K: int = 32, wb_cap: int | None = None,
     return p32t, lent, min_len, max_len, Wb, G, num_out_words
 
 
-def pack_k(table: HuffmanTable) -> int:
+def _eff_max_len(table: HuffmanTable, maxlen_cap: int | None) -> int:
+    """The planning max code length: the table's, or the data envelope cap
+    (split-plan encode) when one is given and attainable."""
+    lens = table.lengths[table.lengths > 0]
+    max_len = int(lens.max()) if lens.size else 1
+    if maxlen_cap is not None and 0 < maxlen_cap < max_len:
+        retained = lens[lens <= maxlen_cap]
+        if retained.size:
+            return int(retained.max())
+    return max_len
+
+
+def pack_k(table: HuffmanTable, maxlen_cap: int | None = None) -> int:
     """Kernel block size (symbols per lane) for this table.
 
     Targets Wb = ceil(K*max_len/32) ~= 320 VMEM words per lane. Under the
@@ -988,8 +1020,7 @@ def pack_k(table: HuffmanTable) -> int:
         # K-times-unrolled pack loop dominates wall time; the stitch
         # scatter this tuning amortizes is a TPU cost. Keep blocks small.
         return 32
-    lens = table.lengths[table.lengths > 0]
-    max_len = int(lens.max()) if lens.size else 1
+    max_len = _eff_max_len(table, maxlen_cap)
     # Budget ~640 buffer words per lane: deep tables stay scatter-index
     # bound well past the old 320-word target (5-30-bit table at 8 MiB:
     # 1508 us @K=256 vs 1293 @512), and K=1024 keeps winning on shallow
@@ -1002,7 +1033,7 @@ def pack_k(table: HuffmanTable) -> int:
     return min(1024, 1 << (budget.bit_length() - 1))
 
 
-def pack_k_fast(table: HuffmanTable) -> int:
+def pack_k_fast(table: HuffmanTable, maxlen_cap: int | None = None) -> int:
     """Preferred kernel block size when a span-adaptive wb_hint keeps the
     per-lane buffers small (round 4): K=1024 on tables up to 30-bit codes
     makes K*min_len >= 4096, i.e. gather-tail-eligible (min_len >= 4),
@@ -1011,8 +1042,7 @@ def pack_k_fast(table: HuffmanTable) -> int:
     hint is available — the worst-case buffer at this K may not compile."""
     if _use_interpret():
         return 32
-    lens = table.lengths[table.lengths > 0]
-    max_len = int(lens.max()) if lens.size else 1
+    max_len = _eff_max_len(table, maxlen_cap)
     budget = max(32, (40960 if max_len <= 30 else 20480) // max_len)
     return min(1024, 1 << (budget.bit_length() - 1))
 
@@ -1106,7 +1136,8 @@ def plan_out_encode(table: HuffmanTable, sample, n: int | None = None) -> int:
 def encode_step(table: HuffmanTable, n: int, block_symbols: int = 192,
                 eos_padding: int = 0xFF, K: int | None = None,
                 wb_hint: int | None = None, dmin_hint: int | None = None,
-                out_bits_hint: int | None = None):
+                out_bits_hint: int | None = None,
+                maxlen_cap: int | None = None):
     """Bench/entry seam: returns (encode_fn, finalize_fn) for fixed n.
 
     encode_fn(symbols u8[n] on device) -> (words, total_bits, padded_bits),
@@ -1116,16 +1147,21 @@ def encode_step(table: HuffmanTable, n: int, block_symbols: int = 192,
     verification. K=None picks pack_k(table); wb_hint (from
     plan_wb_encode) shrinks the per-block buffers to the sample's real
     span envelope; dmin_hint (plan_dmin_encode) tightens the gather
-    stitch's spill-merge cases.
+    stitch's spill-merge cases; maxlen_cap (the sample's max code length)
+    plans the whole kernel on the data's length envelope — a symbol with
+    a deeper code trips the bad flag, which finalize_fn resolves on host
+    (OverflowError = re-plan without the cap; UnknownSymbolError = a
+    genuinely uncoded symbol).
     """
     from ..errors import UnknownSymbolError
 
     if K is None:
-        K = pack_k(table)
+        K = pack_k(table, maxlen_cap)
     p32t, lent, min_len, max_len, Wb, G, num_out_words = _plan(
         table, n, K, wb_cap=wb_hint, exact_out=True,
-        out_cap_bits=out_bits_hint,
+        out_cap_bits=out_bits_hint, maxlen_cap=maxlen_cap,
     )
+    shallow = max_len < int(table.max_len)
     gather_dmin, _jm = gather_tail_plan(K, min_len, max_len, Wb, dmin_hint)
     nb = -(-n // K)
     B = G * LANES
@@ -1161,41 +1197,72 @@ def encode_step(table: HuffmanTable, n: int, block_symbols: int = 192,
                 f"{wb_hint}, dmin_hint={dmin_hint}); re-plan without hints"
             )
         if bool(bad):
+            if shallow:
+                # bad under a shallow plan = either a genuinely unknown
+                # symbol or one whose code exceeds the cap; resolve on
+                # host (post-timing, cost irrelevant).
+                lens = table.lengths[np.asarray(symbols)]
+                if (lens == 0).any():
+                    raise UnknownSymbolError()
+                raise OverflowError(
+                    f"symbol code length exceeds maxlen_cap={maxlen_cap}; "
+                    "re-plan without the cap"
+                )
             raise UnknownSymbolError()
         return words, total_bits, padded_bits
 
     return encode_fn, finalize_fn
 
 
-def _run(symbols: np.ndarray, table: HuffmanTable, eos_padding: int):
+def _run(symbols: np.ndarray, table: HuffmanTable, eos_padding: int,
+         need_every: int | None = None):
     """Shared one-shot driver: returns (words_dev, total_bits, padded_bits,
-    offs_dev at offset_granularity(table) granularity). Raises
+    offs_dev, offs_every — the offsets' symbol granularity). Raises
     UnknownSymbolError.
 
     Uses the table's adaptive span hint when one has been learned from a
     previous encode (the kernel's overflow flag triggers a safe re-run
     with the static bound when the data is less compressible than before).
+
+    Split-plan (round 5): the EXACT code-length envelope of this call's
+    data caps the whole plan — a host O(n) table gather, the same order as
+    the staging copies this path already pays. Exact means no shallow-miss
+    re-run can ever trigger, so the bad flag keeps its reference meaning
+    (a genuinely unknown symbol, huffman.c:62-64). ``need_every`` (an
+    index granularity the caller will slice at) vetoes a cap whose
+    sub-block size would not divide it.
     """
     from ..errors import UnknownSymbolError
 
     n = symbols.size
-    K = pack_k(table)
+    eff = int(table.lengths[symbols].max()) if n else 0
+    cap = eff if 0 < eff < int(table.max_len) else None
+    K = pack_k(table, cap)
+    if cap is not None and need_every is not None:
+        lens_r = table.lengths[(table.lengths > 0) & (table.lengths <= cap)]
+        S_c = _sub_block(K, int(lens_r.min()), int(lens_r.max()))
+        if need_every % S_c:
+            cap = None
+            K = pack_k(table)
     # Adaptive span hints live ON the table (object.__setattr__ pierces
     # the frozen dataclass): an id()-keyed dict can alias a recycled
-    # address after the original table is collected.
+    # address after the original table is collected. They are only valid
+    # under the plan shape they were learned at (keyed by (K, cap)).
     nb = -(-n // K)
-    rate = getattr(table, "_rate_hint", None)
+    hints_ok = getattr(table, "_hint_key", None) == (K, cap)
+    rate = getattr(table, "_rate_hint", None) if hints_ok else None
     out_cap = (int(n * rate) + 8192) if rate is not None else None
     for wb_cap, dmin_hint, cap_bits in (
         (
-            getattr(table, "_wb_hint", None),
-            getattr(table, "_dmin_hint", None),
+            getattr(table, "_wb_hint", None) if hints_ok else None,
+            getattr(table, "_dmin_hint", None) if hints_ok else None,
             out_cap,
         ),
         (None, None, None),
     ):
         p32t, lent, min_len, max_len, Wb, G, num_out_words = _plan(
-            table, n, K, wb_cap=wb_cap, out_cap_bits=cap_bits
+            table, n, K, wb_cap=wb_cap, out_cap_bits=cap_bits,
+            maxlen_cap=cap,
         )
         gather_dmin, _jm = gather_tail_plan(
             K, min_len, max_len, Wb, dmin_hint
@@ -1237,7 +1304,9 @@ def _run(symbols: np.ndarray, table: HuffmanTable, eos_padding: int):
     if blk.size > 1:
         spans = np.diff(blk, append=np.int64(int(total_bits)))
         ms = int(spans.max())
+        object.__setattr__(table, "_hint_key", (K, cap))
         object.__setattr__(table, "_wb_hint", (ms + ms // 4) // 32 + 4)
+        object.__setattr__(table, "_dmin_hint", None)
         nb_full = n // K
         if nb_full > 1:
             r0 = blk[:nb_full] >> np.int64(5 + STITCH_SW.bit_length() - 1)
@@ -1249,7 +1318,7 @@ def _run(symbols: np.ndarray, table: HuffmanTable, eos_padding: int):
         object.__setattr__(
             table, "_rate_hint", 1.15 * int(total_bits) / max(1, n)
         )
-    return words, total_bits, padded_bits, offs
+    return words, total_bits, padded_bits, offs, S
 
 
 def encode(data, table: HuffmanTable, eos_padding: int = 0xFF):
@@ -1267,7 +1336,7 @@ def encode(data, table: HuffmanTable, eos_padding: int = 0xFF):
     )
     if symbols.size == 0:
         return b"", 0
-    words, total_bits, padded_bits, _offs = _run(symbols, table, eos_padding)
+    words, total_bits, padded_bits, _offs, _S = _run(symbols, table, eos_padding)
     nbytes = int(padded_bits) // 8
     return bytes_from_words_np(np.asarray(words), nbytes), int(total_bits)
 
@@ -1305,9 +1374,14 @@ def encode_with_offsets(data, table: HuffmanTable, eos_padding: int = 0xFF,
     n = symbols.size
     if n == 0:
         return b"", 0, np.zeros(0, np.int32)
-    words, total_bits, padded_bits, offs = _run(symbols, table, eos_padding)
+    # _run may re-plan on the data's length envelope (split plan); its
+    # actual sub-block size S divides ``every`` by construction
+    # (need_every vetoes any cap whose S would not).
+    words, total_bits, padded_bits, offs, S = _run(
+        symbols, table, eos_padding, need_every=every
+    )
     n_idx = -(-n // every)
-    offsets = np.asarray(offs)[:: every // k][:n_idx].astype(np.int32)
+    offsets = np.asarray(offs)[:: every // S][:n_idx].astype(np.int32)
     nbytes = int(padded_bits) // 8
     return (
         bytes_from_words_np(np.asarray(words), nbytes),

@@ -235,7 +235,7 @@ class HuffmanEncoder:
         total_bits, source/huffman.c:178-184)."""
         from .ops import pallas_encode as _pe
 
-        words_dev, total0, _padded0, _offs = _pe._run(symbols, self.table, 0)
+        words_dev, total0, _padded0, _offs, _S = _pe._run(symbols, self.table, 0)
         c = self._carry_len
         if c:
             w = jnp.concatenate([words_dev, jnp.zeros(1, jnp.uint32)])
