@@ -88,14 +88,24 @@ def test_streaming_decoder_bulk_path(table, monkeypatch):
 
     monkeypatch.setattr(pallas_decode, "_on_tpu", lambda: True)
     monkeypatch.setattr(stream_mod, "BULK_DECODE_THRESHOLD", 256)
-    orig = selfsync.selfsync_decode_words
     called = {}
+    orig_w = selfsync.selfsync_decode_words
 
-    def spy(buf, nbytes, consumed_bit, tab, seg_words=selfsync.SEG_WORDS):
+    def spy_w(buf, nbytes, consumed_bit, tab, seg_words=selfsync.SEG_WORDS):
         called["yes"] = True
-        return orig(buf, nbytes, consumed_bit, tab, seg_words=4)
+        return orig_w(buf, nbytes, consumed_bit, tab, seg_words=4)
 
-    monkeypatch.setattr(selfsync, "selfsync_decode_words", spy)
+    monkeypatch.setattr(selfsync, "selfsync_decode_words", spy_w)
+    # the one-dispatch fused drain handles bulk calls first; route it
+    # through 4-word segments (interpret-mode cost) and count it too
+    orig_f = selfsync.fused_drain_words
+
+    def spy_f(buf, nbytes, consumed_bit, tab, capacity, **kw):
+        called["yes"] = True
+        kw["seg_words"] = 4
+        return orig_f(buf, nbytes, consumed_bit, tab, capacity, **kw)
+
+    monkeypatch.setattr(selfsync, "fused_drain_words", spy_f)
     rng = np.random.default_rng(8)
     data = rng.integers(0, 256, size=3000, dtype=np.uint8).tobytes()
     enc = th.encode(data, table)

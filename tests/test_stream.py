@@ -196,6 +196,24 @@ def test_chunked_random_data(table):
 # --- capacity-bounded bulk decode (round 2: SHORT_BUFFER at device speed) ---
 
 
+def _route_fused_small(monkeypatch, counter=None):
+    """Route the fused one-dispatch drain (round 5) through seg_words=4:
+    the default 32-word segments pad the grid to 16k lanes, which the
+    interpret-mode CPU tier cannot afford. Returns nothing; the fused
+    path stays live (same code, small segments)."""
+    from tpu_huffman.ops import selfsync
+
+    origf = selfsync.fused_drain_words
+
+    def small_fused(buf, nbytes, consumed_bit, tab, capacity, **kw):
+        if counter is not None:
+            counter["n"] = counter.get("n", 0) + 1
+        kw["seg_words"] = 4
+        return origf(buf, nbytes, consumed_bit, tab, capacity, **kw)
+
+    monkeypatch.setattr(selfsync, "fused_drain_words", small_fused)
+
+
 @pytest.mark.slow
 def test_decode_chunk_capped_bulk_path(monkeypatch):
     """Capacity-bounded decode_chunk rides the capped self-sync kernel for
@@ -221,6 +239,7 @@ def test_decode_chunk_capped_bulk_path(monkeypatch):
         return orig(buf, nbytes, consumed_bit, tab, capacity, seg_words=4)
 
     monkeypatch.setattr(selfsync, "selfsync_decode_capped_words", spy)
+    _route_fused_small(monkeypatch, counter=called)
     rng = np.random.default_rng(12)
     data = rng.integers(0, 256, size=4000, dtype=np.uint8).tobytes()
     enc = th.encode(data, table)
@@ -317,6 +336,7 @@ def test_device_remainder_misaligned_appends(monkeypatch):
         return orig(buf, nbytes, consumed_bit, tab, seg_words=4)
 
     monkeypatch.setattr(selfsync, "selfsync_decode_words", small)
+    _route_fused_small(monkeypatch)
     table = th.load_static_test_table()
     rng = np.random.default_rng(21)
     data = rng.integers(0, 256, size=2000, dtype=np.uint8).tobytes()
@@ -352,6 +372,7 @@ def test_device_remainder_capped_drain_and_state(monkeypatch):
         return orig(buf, nbytes, consumed_bit, tab, capacity, seg_words=4)
 
     monkeypatch.setattr(selfsync, "selfsync_decode_capped_words", small)
+    _route_fused_small(monkeypatch)
     table = th.load_static_test_table()
     rng = np.random.default_rng(22)
     data = rng.integers(0, 256, size=3000, dtype=np.uint8).tobytes()
@@ -421,6 +442,7 @@ def test_decode_chunk_capped_fast(monkeypatch):
         return orig(buf, nbytes, consumed_bit, tab, capacity, seg_words=4)
 
     monkeypatch.setattr(selfsync, "selfsync_decode_capped_words", small)
+    _route_fused_small(monkeypatch)
     rng = np.random.default_rng(9)
     data = rng.integers(0, 256, size=2500, dtype=np.uint8).tobytes()
     enc = th.encode(data, table)
@@ -444,3 +466,46 @@ def test_decode_chunk_capped_fast(monkeypatch):
     dec2 = th.HuffmanDecoder(table)
     dec2.load_state(st)
     assert dec2.decode_chunk(b"").data == b""
+
+
+def test_fused_bulk_encode_chunk_protocol(monkeypatch):
+    """The one-dispatch bulk encode (round 5: pack pipeline + device
+    capacity cut + carry funnel in one program) must reproduce the host
+    protocol chunk-for-chunk — same bytes, same consumed counts, same
+    carries across every capacity boundary (reference: huffman.c:88-99
+    overflow save; huffman_testing.c:102-119 growth loop)."""
+    from tpu_huffman import stream as stream_mod
+    from tpu_huffman.stream import HuffmanEncoder
+
+    table = th.load_static_test_table()
+    rng = np.random.default_rng(31)
+    data = rng.integers(0, 256, size=3000, dtype=np.uint8).tobytes()
+    cap = 700
+
+    def protocol(enc):
+        chunks = []
+        pending = data
+        while True:
+            r = enc.encode_chunk(pending, cap)
+            chunks.append((r.data, r.consumed, r.done, enc.overflow_bits))
+            pending = pending[r.consumed:]
+            if r.done:
+                break
+        return chunks
+
+    want = protocol(HuffmanEncoder(table))  # legacy host-cut path
+    monkeypatch.setattr(stream_mod, "BULK_ENCODE_THRESHOLD", 512)
+    monkeypatch.setattr(stream_mod, "_FORCE_BULK_ENCODE", True)
+    got = protocol(HuffmanEncoder(table))
+    assert got == want
+    # uncapped call with a pending carry composes identically
+    a, b = HuffmanEncoder(table), HuffmanEncoder(table)
+    for e in (a, b):
+        e._carry_pattern, e._carry_len = 0x15, 5
+    monkeypatch.setattr(stream_mod, "_FORCE_BULK_ENCODE", False)
+    monkeypatch.setattr(stream_mod, "BULK_ENCODE_THRESHOLD", 1 << 30)
+    want_u = a.encode_chunk(data, None)
+    monkeypatch.setattr(stream_mod, "_FORCE_BULK_ENCODE", True)
+    monkeypatch.setattr(stream_mod, "BULK_ENCODE_THRESHOLD", 512)
+    got_u = b.encode_chunk(data, None)
+    assert got_u == want_u

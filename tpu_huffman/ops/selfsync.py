@@ -959,24 +959,100 @@ def _dense_core(buf, w0, start_bit, lengths, rs, *, need_words, G, seg_words,
         use_tail | (reached_end & (exitsA == exits0))
     )
     resolved = resolved | ~active
-    all_ok = jnp.all(resolved)
+    fail = active & ~resolved
 
     i_eff = jnp.where(use_tail, i_s, countA)
     counts = jnp.where(active, i_eff + jnp.where(use_tail, count0 - j_s, 0), 0)
 
+    # ---- in-graph compacted repair (round 5, VERDICT r4 #3): ~0.3% of
+    # segments don't merge within the A-symbol patch on hard corpora
+    # (random bytes x Kraft-incomplete tables), and ONE unresolved
+    # segment used to punt the whole drain to the classic multi-dispatch
+    # path. Re-decode up to R_MAX failed segments from their true entries
+    # here — one extra (1-grid-step, 1024-lane) kernel call inside the
+    # same program — validate each repaired exit against pass 0's, and
+    # splice the repaired chains into the dense assembly and the cut.
+    R_MAX = 256  # lens-gather cost bounds this (~8 ns/element); >> the
+    #              classic threshold max(64, S>>5)
+    n_fail = jnp.sum(fail.astype(jnp.int32))
+    posf = jnp.cumsum(fail.astype(jnp.int32)) - 1
+    idx_r = jnp.zeros((LANES,), jnp.int32).at[
+        jnp.where(fail & (posf < R_MAX), posf, LANES)
+    ].set(jnp.arange(S_dl, dtype=jnp.int32), mode="drop")
+    lane_i1 = jnp.arange(LANES, dtype=jnp.int32)
+    live = lane_i1 < jnp.minimum(n_fail, R_MAX)
+    Wb_r = seg_words + SEG_SLACK
+    rows_r = jnp.where(
+        live[:, None],
+        w0 + idx_r[:, None] * seg_words
+        + jnp.arange(Wb_r, dtype=jnp.int32)[None, :],
+        0,
+    )
+    winf = jnp.take(buf, rows_r, mode="clip")
+    winf = winf.reshape(1, 8, 128, Wb_r).transpose(0, 3, 1, 2)
+    ent_r = jnp.where(live, jnp.take(e1, idx_r, mode="clip"), 0)
+    rep_call = _make_selfsync_call(
+        intervals, aux, max_syms, 1, interpret, seg_words
+    )
+    out_r, exits_r, bad_r = rep_call(winf, ent_r.reshape(1, 8, 128))
+    rep_rows = (
+        out_r.reshape(1, K4, 8, 128).transpose(0, 2, 3, 1).reshape(LANES, K4)
+    )
+    rep_syms = jax.lax.bitcast_convert_type(rep_rows, jnp.uint8).reshape(
+        LANES, 4 * K4
+    )
+    exits_r = exits_r.reshape(-1)
+    bad_r = bad_r.reshape(-1)
+    # equality with pass 0's exit proves its chain was synced by segment
+    # end, so downstream entries were built on true boundaries
+    valid_r = (~live) | (
+        (bad_r == 0) & (exits_r == jnp.take(exits0, idx_r, mode="clip"))
+    )
+    repair_ok = (n_fail <= R_MAX) & jnp.all(valid_r)
+    lens_r = jnp.take(
+        lengths, rep_syms[:, :max_syms].astype(jnp.int32), axis=0
+    ).astype(jnp.int32)
+    starts_r = (
+        jnp.cumsum(lens_r, axis=1) - lens_r
+        + jnp.take(e1, idx_r, mode="clip")[:, None]
+    )
+    counts_r = jnp.sum((starts_r < seg_bits).astype(jnp.int32), axis=1)
+    drop_idx = jnp.where(live, idx_r, S_dl)
+    counts_spliced = counts.at[drop_idx].set(counts_r, mode="drop")
+    lane_map = jnp.zeros((S_dl,), jnp.int32).at[drop_idx].set(
+        lane_i1, mode="drop"
+    )
+    repaired = fail & repair_ok
+    # assembly/cut channels: spliced when the repair stands, else the
+    # pre-repair values so the host fallback sees exactly the round-4
+    # contract (its own repair path re-derives everything from `raw`)
+    counts_asm = jnp.where(repair_ok, counts_spliced, counts)
+    all_ok = repair_ok
+    resolved_out = jnp.where(repair_ok, jnp.ones_like(resolved), resolved)
+
     # ---- dense assembly: out = concat_s(patch[s,:i_eff] + pass0[s,j_s:count0])
+    # (or the repaired chain rep_syms[lane_map[s], :counts_r] wholesale)
     comb = jnp.concatenate([symsA, syms0], axis=1)  # (S_dl, A + 4*K4)
     stride = A + 4 * K4
-    pos_seg, total = _exclusive_cumsum_blocks(counts)
+    comb_flat = jnp.concatenate(
+        [comb.reshape(S_dl * stride), rep_syms.reshape(LANES * 4 * K4)]
+    )
+    pos_seg, total = _exclusive_cumsum_blocks(counts_asm)
     N_pad = S_dl * (max_syms + A)
+    base_seg = jnp.where(
+        repaired,
+        jnp.int32(S_dl * stride) + lane_map * jnp.int32(4 * K4),
+        jnp.arange(S_dl, dtype=jnp.int32) * stride,
+    )
+    i_eff_asm = jnp.where(repaired, counts_asm, i_eff)
     # per-output-slot owner data via scatter-of-deltas + cumsum (the encode
     # gather-tail expansion): channels = segment base in comb_flat, segment
     # output start, i_eff, A + j_s.
     vals = jnp.stack(
         [
-            jnp.arange(S_dl, dtype=jnp.int32) * stride,
+            base_seg,
             pos_seg,
-            i_eff,
+            i_eff_asm,
             jnp.int32(A) + j_s,
         ],
         axis=1,
@@ -991,27 +1067,30 @@ def _dense_core(buf, w0, start_bit, lengths, rs, *, need_words, G, seg_words,
     for c in range(4):
         excl, _t = _exclusive_cumsum_blocks(w4[:, c])
         cols.append(excl + w4[:, c])
-    base_f = cols[0]           # (owner index)*stride
+    base_f = cols[0]           # segment base in comb_flat
     P = cols[1]                # pos_seg[owner]
     F = cols[2]                # i_eff[owner]
     Jt = cols[3]               # A + j_s[owner]
     t_iota = jnp.arange(N_pad, dtype=jnp.int32)
     u = t_iota - P
     col = jnp.where(u < F, u, u - F + Jt)
-    src = jnp.clip(base_f + col, 0, S_dl * stride - 1)
-    body_pad = jnp.take(comb.reshape(S_dl * stride), src)
+    src = jnp.clip(base_f + col, 0, S_dl * stride + LANES * 4 * K4 - 1)
+    body_pad = jnp.take(comb_flat, src)
     last_exit = jnp.take(exits0, jnp.clip(rs - 1, 0, S_dl - 1))
 
     small = (
         total,
         all_ok,
         last_exit,
-        counts,
-        resolved,
+        counts_asm,
+        resolved_out,
         e1,
         exits0,
     )
-    cut = dict(counts=counts, pA=pA, starts0=starts0, i_eff=i_eff, j_s=j_s)
+    cut = dict(
+        counts=counts_asm, pA=pA, starts0=starts0, i_eff=i_eff_asm, j_s=j_s,
+        repaired=repaired, lane_map=lane_map, starts_r=starts_r,
+    )
     return body_pad, small, raw, cut
 
 
@@ -1079,6 +1158,15 @@ def _segments_pipeline_dense_capped(buf, w0, start_bit, lengths, rs,
         head,
         cut["pA"][s_cc, jnp.clip(within, 0, PATCH_SYMS - 1)],
         cut["starts0"][s_cc, jcol],
+    )
+    # a cut inside an in-graph-repaired segment takes its boundary from
+    # the repaired chain's starts instead of the patch/pass-0 ones
+    bitrel = jnp.where(
+        cut["repaired"][s_cc],
+        cut["starts_r"][
+            cut["lane_map"][s_cc], jnp.clip(within, 0, max_syms - 1)
+        ],
+        bitrel,
     )
     end_bit_cut = s_cc * jnp.int32(seg_bits) + bitrel
     return body_pad, small, raw, (over, end_bit_cut, total)
@@ -1199,6 +1287,249 @@ def selfsync_decode_words(
     value, nbits = reader.value(tail_start_bit, total_bits)
     tail, pos = _decode_tail_host(table, value, nbits)
     return body_bytes + bytes(tail), base + tail_start_bit + pos
+
+
+TAIL_WORDS = 3 * SEG_WORDS + 4  # covers any host-decoded stream tail
+
+
+def _value_from_words_np(words_np: np.ndarray, base_bit: int, from_bit: int,
+                         limit_bit: int) -> tuple[int, int]:
+    """(int of bits [from_bit, limit_bit), count) from downloaded words.
+
+    ``base_bit`` is the absolute bit of words_np[0]'s MSB; from/limit are
+    absolute in the same frame. The host twin of _WordsReader.value over
+    an already-transferred slice (the fused drain downloads the tail
+    words with the body, so no second device read is needed).
+    """
+    nbits = limit_bit - from_bit
+    if nbits <= 0:
+        return 0, 0
+    v = int.from_bytes(words_np.astype(">u4").tobytes(), "big")
+    tot = words_np.size * 32
+    head = from_bit - base_bit
+    v &= (1 << (tot - head)) - 1
+    v >>= tot - (limit_bit - base_bit)
+    return v, nbits
+
+
+@functools.partial(
+    jax.jit,
+    donate_argnums=(0,),
+    static_argnames=(
+        "sh", "capped", "need_words", "G", "seg_words", "S_dl", "max_syms",
+        "intervals", "aux", "interpret", "cap_slice",
+    ),
+)
+def _fused_drain_call(buf, up, cw, w0b, w0, sb, rs, capacity, lengths, *,
+                      sh, capped, need_words, G, seg_words, S_dl, max_syms,
+                      intervals, aux, interpret, cap_slice):
+    """ONE device program per streaming drain (round 5, VERDICT r4 #3).
+
+    Fuses the four dispatches a `decode_chunk` call used to pay — compact
+    slide, feed append, decode pipeline, tail-word read — into one
+    program with one batched download. On this rig every dispatch costs
+    40-80 ms of tunnel floor, so the chunked protocol's wall time is
+    dispatch-count bound (BASELINE.md round-4 config #4).
+
+    buf is donated: the returned new_buf is the remainder's new canonical
+    buffer (slide by ``cw`` words, then ``up`` merged at word ``w0b``
+    with byte phase ``sh``; up is all-zero/empty on pure drain calls).
+    Returns (new_buf, body_pad[:cap_slice], small, cut_small, tailw) —
+    ``tailw`` is the TAIL_WORDS-word window at the host-tail resume point
+    so the caller can finish the stream tail without another device read.
+    """
+    n = buf.shape[0]
+    # 1. compact slide (cw == 0 is a cheap full copy, fused with 2)
+    padded = jnp.concatenate([buf, jnp.zeros(n, jnp.uint32)])
+    buf = jax.lax.dynamic_slice(padded, (cw,), (n,))
+    # 2. merge-append the new words (static-shape upload; see _merge_words)
+    if up.shape[0]:
+        if sh:
+            ext = jnp.concatenate([jnp.zeros(1, jnp.uint32), up])
+            shifted = (ext[:-1] << jnp.uint32(32 - sh)) | (
+                ext[1:] >> jnp.uint32(sh)
+            )
+            up = jnp.concatenate([shifted, up[-1:] << jnp.uint32(32 - sh)])
+        first = jax.lax.dynamic_index_in_dim(buf, w0b, keepdims=False)
+        up = up.at[0].set(up[0] | first)
+        buf = jax.lax.dynamic_update_slice(buf, up, (w0b,))
+    # 3. decode (the dense pipeline pads internally if buf is short; the
+    # caller sizes the buffer so it never is)
+    if capped:
+        body_pad, small, _raw, cut_small = _segments_pipeline_dense_capped(
+            buf, w0, sb, lengths, rs, capacity,
+            need_words=need_words, G=G, seg_words=seg_words, S_dl=S_dl,
+            max_syms=max_syms, intervals=intervals, aux=aux,
+            interpret=interpret,
+        )
+    else:
+        body_pad, small, _raw = _segments_pipeline_dense(
+            buf, w0, sb, lengths, rs,
+            need_words=need_words, G=G, seg_words=seg_words, S_dl=S_dl,
+            max_syms=max_syms, intervals=intervals, aux=aux,
+            interpret=interpret,
+        )
+        cut_small = (jnp.bool_(False), jnp.int32(0), small[0])
+    # 4. tail window at the resume point (host finishes the last partial
+    # segment with exact reference termination rules)
+    seg_bits = seg_words * 32
+    last_exit = small[2]
+    tail_start = rs * jnp.int32(seg_bits) + last_exit - jnp.int32(seg_bits)
+    tws = jnp.clip(w0 + (tail_start >> 5), 0, n - TAIL_WORDS)
+    tailw = jax.lax.dynamic_slice(buf, (tws,), (TAIL_WORDS,))
+    return buf, body_pad[:cap_slice], small, cut_small, tailw
+
+
+def fused_drain_words(
+    buf,
+    nbytes: int,
+    consumed_bit: int,
+    table: HuffmanTable,
+    capacity: int | None,
+    up: np.ndarray | None = None,
+    up_bytes: int = 0,
+    cw: int = 0,
+    seg_words: int = SEG_WORDS,
+):
+    """Streaming drain as one dispatch + one download; or None (caller
+    falls back to the classic multi-dispatch path).
+
+    ``buf``/``nbytes``/``consumed_bit`` describe the PRE-slide, PRE-append
+    remainder; ``up`` holds the new bytes' words (packed from bit 0,
+    zero-padded to a pow2 bucket), ``up_bytes`` their true byte count,
+    ``cw`` the whole words to slide off the front first. ``buf`` must
+    already have room for the slid+appended stream plus TAIL_WORDS.
+    Returns (symbols, end_bit, more, new_buf) with end_bit in the POST
+    frame, or None when the shape doesn't qualify (tiny stream,
+    predecessor-search table) — the caller must then materialize the
+    slide+append itself and run the classic path.
+
+    Unresolved/corrupt streams ARE handled: the classic capped/uncapped
+    functions re-run over new_buf (returned via the _FusedFallback
+    exception) and own the exact error semantics.
+    """
+    from .pallas_decode import decode_dispatch
+
+    assert seg_words <= SEG_WORDS  # TAIL_WORDS covers <= 3*SEG_WORDS tails
+    intervals, aux = decode_dispatch(table)
+    if intervals is None:
+        return None
+    nbytes2 = nbytes - 4 * cw + up_bytes
+    consumed2 = consumed_bit - 32 * cw
+    assert consumed2 >= 0
+    w0 = consumed2 >> 5
+    sb = consumed2 - (w0 << 5)
+    base = w0 << 5
+    total_bits = nbytes2 * 8 - base
+    if total_bits <= sb:
+        return None
+    min_len = max(int(table.min_len), 1)
+    if capacity is None:
+        prefix_bits = total_bits
+        full = True
+    else:
+        need_bits = sb + (capacity + 1) * int(table.max_len) + 64
+        view_words = -(-total_bits // 32)
+        prefix_words = min(view_words, -(-need_bits // 32))
+        full = prefix_words == view_words
+        prefix_bits = total_bits if full else prefix_words * 32
+    plan = _plan_segments(prefix_bits, seg_words)
+    if plan is None:
+        return None
+    S, G, Bp, seg_bits, need_words = plan
+    n_up = up.size if up is not None else 0
+    need_total = max(
+        w0 + need_words,
+        (nbytes - 4 * cw) // 4 + n_up + 1,
+        TAIL_WORDS,
+    )
+    if buf.shape[0] < need_total:
+        # grow with the same 2x-headroom pow2 policy as _ensure_capacity;
+        # one extra dispatch, only on growth calls (rare by construction)
+        cap = max(2 << max(need_total - 1, 1).bit_length(), 1 << 12)
+        grown = jnp.zeros(cap, jnp.uint32)
+        buf = jax.lax.dynamic_update_slice(grown, buf, (0,))
+    max_syms = -(-((seg_bits + table.max_len) // min_len + 1) // 4) * 4
+    S_dl = min(Bp, max(16, 1 << (S - 1).bit_length()))
+    if capacity is None:
+        # pow2 bucket >= the body-symbol bound (disjoint codes >= min_len
+        # within S*seg_bits < total_bits, +2 slack for the seam symbol)
+        cap_slice = min(S_dl * (max_syms + PATCH_SYMS),
+                        1 << max(4, (total_bits // min_len + 1)
+                                 .bit_length()))
+    else:
+        cap_slice = min(int(capacity), S * (max_syms + PATCH_SYMS))
+    up_j = jnp.asarray(
+        up if up is not None else np.zeros(0, np.uint32)
+    )
+    sh = ((nbytes - 4 * cw) % 4) * 8
+    new_buf, body_pad, small, cut_small, tailw = _fused_drain_call(
+        buf, up_j, jnp.int32(cw), jnp.int32((nbytes - 4 * cw) // 4),
+        jnp.int32(w0), jnp.int32(sb), jnp.int32(S),
+        jnp.int32(min(capacity if capacity is not None else (1 << 30),
+                      1 << 30)),
+        jnp.asarray(table.lengths.astype(np.int32)),
+        sh=sh, capped=capacity is not None, need_words=need_words, G=G,
+        seg_words=seg_words, S_dl=S_dl, max_syms=max_syms,
+        intervals=intervals, aux=aux, interpret=_use_interpret(),
+        cap_slice=cap_slice,
+    )
+    body_cap, sm, cs, tailw_np = jax.device_get(
+        (body_pad, small, cut_small, tailw)
+    )
+    total_body, all_ok, last_exit = int(sm[0]), bool(sm[1]), int(sm[2])
+    if not all_ok or (capacity is None and total_body > cap_slice):
+        raise _FusedFallback(new_buf)
+    tail_start_bit = S * seg_bits + last_exit - seg_bits
+    tws = min(max(w0 + (tail_start_bit >> 5), 0),
+              new_buf.shape[0] - TAIL_WORDS)
+    tail_base = (tws - w0) * 32  # view-frame bit of tailw[0]'s MSB
+
+    def tail_capped(budget: int, limit_bit: int):
+        value, nbits = _value_from_words_np(
+            tailw_np, tail_base, tail_start_bit,
+            min(limit_bit, tail_base + TAIL_WORDS * 32),
+        )
+        try:
+            out, pos = _decode_tail_host(table, value, nbits,
+                                         max_syms=budget)
+            state = _next_state(table, value, nbits, pos)
+            if state == "unknown":
+                raise UnknownSymbolError()
+        except UnknownSymbolError as e:
+            # buf was donated: hand the new buffer back with the error so
+            # the caller can restore its state before re-raising
+            raise _FusedFallback(new_buf, error=e)
+        return bytes(out), tail_start_bit + pos, state == "more"
+
+    if capacity is not None:
+        over, end_cut = bool(cs[0]), int(cs[1])
+        if over:
+            return (
+                body_cap[:capacity].tobytes(), base + end_cut, True, new_buf
+            )
+        out = body_cap[:total_body].tobytes()
+        budget = int(capacity) - total_body
+        tail, end, more = tail_capped(budget, prefix_bits)
+        if not more and not full:
+            # can't happen given the prefix bound; stay correct anyway
+            raise _FusedFallback(new_buf)
+        return out + tail, base + end, more, new_buf
+    out = body_cap[:total_body].tobytes()
+    tail, end, more = tail_capped(1 << 62, total_bits)
+    return out + tail, base + end, False, new_buf
+
+
+class _FusedFallback(Exception):
+    """Fused drain hit a rare case (unresolved segments, prefix-bound
+    miss, or an error after the buffer was donated); carries the already
+    slid+appended buffer so the caller restores its state first, then
+    either re-runs the classic path or re-raises ``error``."""
+
+    def __init__(self, new_buf, error: Exception | None = None):
+        super().__init__("fused drain fallback")
+        self.new_buf = new_buf
+        self.error = error
 
 
 def selfsync_decode_capped_words(

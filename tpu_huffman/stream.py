@@ -57,6 +57,10 @@ BULK_DECODE_THRESHOLD = 65536
 # single-block XLA kernel is fine).
 BULK_ENCODE_THRESHOLD = 65536
 
+# Test hook: run the one-dispatch bulk encode path under the Pallas
+# interpreter (the CPU tier can then cover its device capacity cut).
+_FORCE_BULK_ENCODE = False
+
 
 @dataclasses.dataclass
 class EncodeResult:
@@ -75,6 +79,98 @@ def _as_u8(data) -> np.ndarray:
     if isinstance(data, (bytes, bytearray, memoryview)):
         return np.frombuffer(bytes(data), dtype=np.uint8)
     return np.asarray(data, dtype=np.uint8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "K", "G", "Wb", "num_out_words", "p32t", "lent", "min_len",
+        "max_len", "interpret", "gather_dmin", "nb", "S", "cap_words",
+    ),
+)
+def _fused_encode_chunk(syms_u32, nsym, lengths, patterns, carry_len,
+                        carry_pat, writable, n_valid, *, K, G, Wb,
+                        num_out_words, p32t, lent, min_len, max_len,
+                        interpret, gather_dmin, nb, S, cap_words):
+    """Pack pipeline + carry funnel + device capacity cut + hint scalars
+    in one program (see HuffmanEncoder._encode_chunk_bulk).
+
+    The cut mirrors the reference's short-buffer protocol exactly
+    (huffman.c:88-99): consumed = #codes whose end fits ``writable``
+    bits, plus the straddling code whose low ``over`` bits become the
+    next carry. The sub-block offsets the pipeline emits for free locate
+    the cut sub-block; an S-symbol exact cumsum finds the symbol.
+    """
+    from .ops.pallas_encode import STITCH_SW, _encode_pipeline
+
+    words, total0, _pb, bad, ovf, offs_sub = _encode_pipeline(
+        syms_u32, nsym, jnp.uint32(0), K, G, Wb, num_out_words,
+        p32t, lent, min_len, max_len, interpret,
+        gather_dmin=gather_dmin, nb=nb,
+    )
+    # carry funnel: shift the packed stream right by carry_len and OR the
+    # carry pattern into word 0 (double shifts keep cu == 0 defined)
+    cu = carry_len.astype(jnp.uint32)
+    w = jnp.concatenate([words, jnp.zeros(1, jnp.uint32)])
+    prev = jnp.concatenate([jnp.zeros(1, jnp.uint32), words])
+    shifted = (w >> cu) | ((prev << (jnp.uint32(31) - cu)) << jnp.uint32(1))
+    shifted = shifted.at[0].set(
+        shifted[0]
+        | jnp.where(
+            cu > 0,
+            carry_pat << ((jnp.uint32(32) - cu) & jnp.uint32(31)),
+            jnp.uint32(0),
+        )
+    )
+    # capacity cut in the packed (pre-carry) frame
+    wbp = writable - carry_len
+    done = total0 <= wbp
+    j = jnp.clip(
+        jnp.sum((offs_sub <= wbp).astype(jnp.int32)) - 1,
+        0, offs_sub.shape[0] - 1,
+    )
+    sym_flat = jax.lax.bitcast_convert_type(
+        syms_u32[:, None], jnp.uint8
+    ).reshape(-1)
+    sym_lo = jax.lax.dynamic_slice(sym_flat, (j * S,), (S,)).astype(jnp.int32)
+    lens_lo = jnp.take(lengths, sym_lo)
+    off_j = offs_sub[j]
+    ends_lo = jnp.cumsum(lens_lo) + off_j
+    k_w = jnp.sum((ends_lo <= wbp).astype(jnp.int32))
+    kc = jnp.clip(k_w, 0, S - 1)
+    kg = j * jnp.int32(S) + k_w
+    start_k = jnp.where(
+        k_w > 0, ends_lo[jnp.clip(k_w - 1, 0, S - 1)], off_j
+    )
+    straddle = (kg < n_valid) & (start_k < wbp)
+    over = jnp.where(straddle, ends_lo[kc] - wbp, 0)
+    pat_k = jnp.take(patterns, sym_lo[kc])
+    c_next_pat = jnp.where(
+        straddle,
+        pat_k & ((jnp.uint32(1) << over.astype(jnp.uint32)) - jnp.uint32(1)),
+        jnp.uint32(0),
+    )
+    c_next_len = jnp.where(done, 0, over)
+    consumed = jnp.where(done, n_valid, kg + straddle.astype(jnp.int32))
+    # span-hint scalars (the one-shot driver derives these on host from
+    # the offsets array; here they ride the same download as the words)
+    nsub = K // S
+    blk = offs_sub[::nsub]
+    nxt = jnp.concatenate([blk[1:], total0[None]])
+    bi = jnp.arange(blk.shape[0], dtype=jnp.int32)
+    max_span = jnp.max(jnp.where(bi < nb, nxt - blk, 0))
+    sw_shift = 5 + STITCH_SW.bit_length() - 1
+    r0 = blk >> sw_shift
+    d = r0[1:] - r0[:-1]
+    di = jnp.arange(d.shape[0], dtype=jnp.int32)
+    # adjacent FULL blocks only (like plan_dmin_encode); nfull is traced
+    # via n_valid so one compile serves every chunk size in the bucket
+    nfull1 = jnp.maximum(n_valid // jnp.int32(K) - 1, 0)
+    dmin_obs = jnp.min(jnp.where(di < nfull1, d, jnp.int32(1 << 30)))
+    return (
+        shifted[:cap_words], total0, bad, ovf, consumed, c_next_pat,
+        c_next_len, max_span, dmin_obs,
+    )
 
 
 class HuffmanEncoder:
@@ -138,6 +234,17 @@ class HuffmanEncoder:
             if n > limit:
                 symbols = symbols[:limit]
                 n = limit
+        from .ops import pallas_encode as _pe
+
+        if (
+            n >= BULK_ENCODE_THRESHOLD
+            and _pe.supports(self.table)
+            and (not _pe._use_interpret() or _FORCE_BULK_ENCODE)
+            and (capacity is None or self._carry_len <= 8 * int(capacity))
+        ):
+            # One-dispatch bulk path (round 5): pipeline + capacity cut +
+            # carry composition all in one device program.
+            return self._encode_chunk_bulk(symbols, capacity)
         lens = self.table.lengths[symbols].astype(np.int64)
         bad = np.flatnonzero(lens == 0)
         if bad.size:
@@ -224,6 +331,111 @@ class HuffmanEncoder:
         if min_bytes is not None:
             nbytes = max(nbytes, min_bytes)
         return bytes_from_words_np(words_np, nbytes)
+
+    def _encode_chunk_bulk(self, symbols: np.ndarray,
+                           capacity: int | None) -> EncodeResult:
+        """MB-scale encode_chunk as ONE device program + one download
+        (round 5, VERDICT r4 #3): the pack pipeline, the capacity cut
+        (sub-block search over the pipeline's free offsets + an S-symbol
+        exact cumsum), the carry funnel shift, and the span-hint scalars
+        all run on device. The host's only O(n) work is the code-length
+        envelope max (the split plan's exact cap) and the byte staging.
+        """
+        from .errors import UnknownSymbolError
+        from .ops import pallas_encode as _pe
+
+        table = self.table
+        n = symbols.size
+        eff = int(table.lengths[symbols].max()) if n else 0
+        cap_len = eff if 0 < eff < int(table.max_len) else None
+        K = _pe.pack_k(table, cap_len)
+        hints_ok = getattr(table, "_hint_key", None) == (K, cap_len)
+        rate = getattr(table, "_rate_hint", None) if hints_ok else None
+        out_cap = (int(n * rate) + 8192) if rate is not None else None
+        writable = (1 << 31) - 1 if capacity is None else 8 * int(capacity)
+        for wb_cap, dmin_hint, cap_bits in (
+            (
+                getattr(table, "_wb_hint", None) if hints_ok else None,
+                getattr(table, "_dmin_hint", None) if hints_ok else None,
+                out_cap,
+            ),
+            (None, None, None),
+        ):
+            p32t, lent, min_len, max_len, Wb, G, num_out_words = _pe._plan(
+                table, n, K, wb_cap=wb_cap, out_cap_bits=cap_bits,
+                maxlen_cap=cap_len,
+            )
+            gather_dmin, _jm = _pe.gather_tail_plan(
+                K, min_len, max_len, Wb, dmin_hint
+            )
+            S = _pe._sub_block(K, min_len, max_len)
+            nb = -(-n // K)
+            B = G * _pe.LANES
+            nsym_np = np.zeros(B, np.int32)
+            nsym_np[: n // K] = K
+            if n % K:
+                nsym_np[n // K] = n % K
+            padded = np.zeros(B * K, np.uint8)
+            padded[:n] = symbols
+            cap_words = (
+                num_out_words if capacity is None
+                else min(num_out_words, int(capacity) // 4 + 2)
+            )
+            (words_out, total0, bad, ovf, consumed, c_pat, c_len,
+             max_span, dmin_obs) = _fused_encode_chunk(
+                jnp.asarray(padded.view("<u4")), jnp.asarray(nsym_np),
+                jnp.asarray(table.lengths.astype(np.int32)),
+                jnp.asarray(table.patterns.astype(np.uint32)),
+                jnp.int32(self._carry_len), jnp.uint32(self._carry_pattern),
+                jnp.int32(writable), jnp.int32(n),
+                K=K, G=G, Wb=Wb, num_out_words=num_out_words, p32t=p32t,
+                lent=lent, min_len=min_len, max_len=max_len,
+                interpret=_pe._use_interpret(), gather_dmin=gather_dmin,
+                nb=nb, S=S, cap_words=cap_words,
+            )
+            (words_np, total0, bad, ovf, consumed, c_pat, c_len, max_span,
+             dmin_obs) = jax.device_get(
+                (words_out, total0, bad, ovf, consumed, c_pat, c_len,
+                 max_span, dmin_obs)
+            )
+            if (
+                wb_cap is not None or dmin_hint is not None
+                or cap_bits is not None
+            ) and bool(ovf):
+                continue  # data outgrew the learned hints: static re-run
+            break
+        if bool(bad):
+            lens = table.lengths[symbols]
+            idx = int(np.argmax(lens == 0))
+            raise UnknownSymbolError(index=idx, symbol=int(symbols[idx]))
+        # learn/refresh span hints from the device-computed scalars
+        if nb > 1:
+            object.__setattr__(table, "_hint_key", (K, cap_len))
+            ms = int(max_span)
+            object.__setattr__(table, "_wb_hint", (ms + ms // 4) // 32 + 4)
+            static = (K * min_len) // (32 * _pe.STITCH_SW)
+            object.__setattr__(
+                table, "_dmin_hint",
+                max(static, int(dmin_obs)) if n // K > 1 else None,
+            )
+            object.__setattr__(
+                table, "_rate_hint", 1.15 * int(total0) / max(1, n)
+            )
+        total = int(total0) + self._carry_len
+        done = total <= writable
+        if done:
+            nbits = total
+            nbytes = (nbits + 7) // 8
+            buf = bytearray(bytes_from_words_np(words_np, nbytes))
+            if nbits & 7:
+                buf[-1] |= self.eos_padding & ((1 << (8 - (nbits & 7))) - 1)
+            self._carry_pattern = 0
+            self._carry_len = 0
+            return EncodeResult(bytes(buf), n, True)
+        out = bytes_from_words_np(words_np, int(capacity))
+        self._carry_pattern = int(c_pat)
+        self._carry_len = int(c_len)
+        return EncodeResult(out, int(consumed), False)
 
     def _pack_bulk(self, symbols: np.ndarray, pad: bool, min_bytes: int | None) -> bytes:
         """MB-scale chunks ride the Pallas pack pipeline (the single-block
@@ -461,6 +673,13 @@ class HuffmanDecoder:
                 self._dev.consumed_bit = self._rem_start_bit
                 self._rem = np.zeros(0, dtype=np.uint8)
                 self._rem_start_bit = 0
+            # Fused one-dispatch drain (round 5): compact slide + feed
+            # append + decode + tail window ride ONE device program with
+            # one batched download — the chunked protocol was dispatch-
+            # count bound at the rig's 40-80 ms tunnel floor per call.
+            res = self._drain_fused(new, capacity)
+            if res is not None:
+                return res
             self._dev.append(new)
             if capacity is None:
                 out, end = selfsync.selfsync_decode_words(
@@ -510,6 +729,66 @@ class HuffmanDecoder:
         self._rem_start_bit = end % 8
         out = np.asarray(syms)[:n].tobytes()
         return DecodeResult(out, status != STATUS_OUTPUT_FULL)
+
+    def _drain_fused(self, new: np.ndarray, capacity) -> "DecodeResult | None":
+        """One-dispatch bulk drain; None = shape unsuited (classic path).
+
+        Host-side mirror of the device mutation: the compact decision and
+        the append point are computed here BEFORE the fused call, so the
+        remainder's (nbytes, consumed_bit) bookkeeping never needs a
+        device read. A rare unresolved/corrupt stream raises
+        _FusedFallback carrying the already-mutated buffer; the classic
+        path then re-runs over it with exact error semantics.
+        """
+        from .ops import selfsync
+
+        dev = self._dev
+        if dev.buf is None:
+            dev._ensure_capacity(1)
+        # compact slide, applied pre-merge (same rule as compact())
+        cw = 0
+        cwc = dev.consumed_bit >> 5
+        if cwc >= 1024 and cwc >= dev.buf.shape[0] // 4:
+            cw = cwc
+        up = None
+        up_bytes = 0
+        if new.size:
+            w_new, _ = words_from_bytes_np(new.tobytes())
+            n_up = 1 << max(0, (w_new.size + 1 - 1).bit_length())
+            up = np.zeros(n_up, np.uint32)
+            up[: w_new.size] = w_new
+            up_bytes = int(new.size)
+        try:
+            res = selfsync.fused_drain_words(
+                dev.buf, dev.nbytes, dev.consumed_bit, self.table,
+                None if capacity is None else int(capacity),
+                up=up, up_bytes=up_bytes, cw=cw,
+            )
+        except selfsync._FusedFallback as fb:
+            dev.buf = fb.new_buf
+            dev.nbytes = dev.nbytes - 4 * cw + up_bytes
+            dev.consumed_bit -= 32 * cw
+            if fb.error is not None:
+                raise fb.error
+            if capacity is None:
+                out, end = selfsync.selfsync_decode_words(
+                    dev.buf, dev.nbytes, dev.consumed_bit, self.table
+                )
+                more = False
+            else:
+                out, end, more = selfsync.selfsync_decode_capped_words(
+                    dev.buf, dev.nbytes, dev.consumed_bit, self.table,
+                    int(capacity),
+                )
+            dev.consumed_bit = end
+            return DecodeResult(out, not more)
+        if res is None:
+            return None
+        out, end, more, new_buf = res
+        dev.buf = new_buf
+        dev.nbytes = dev.nbytes - 4 * cw + up_bytes
+        dev.consumed_bit = end
+        return DecodeResult(out, not more)
 
     def decode(self, data, capacity: int | None = None) -> bytes:
         """Reference-shaped decode: raises ShortBufferError when capacity
