@@ -254,22 +254,28 @@ def bench_streaming(table, stream_mb, chunk_mb, emit):
     data = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
     cap = int(chunk_mb * (1 << 20))
 
-    # Warmup: run the protocol once over a short prefix so kernel compiles
-    # (encoder pack kernel, self-sync decode pipeline) are excluded from the
-    # steady-state timing below.
+    # Warmup: one full untimed pass of every protocol the timed loops run.
+    # A short-prefix warmup misses the tail-chunk shapes (the final calls'
+    # smaller symbol counts) and the retained-buffer growth buckets, and
+    # each missed shape costs a 5-17 s compile-cache load inside the timed
+    # loop (round 5; the fused one-dispatch programs are large graphs).
     warm_enc = th.HuffmanEncoder(table)
-    pending = data[: 2 * cap]
-    blob = b""
+    pending = data
+    blob = []
     while True:
         r = warm_enc.encode_chunk(pending, cap)
-        blob += r.data
+        blob.append(r.data)
         pending = pending[r.consumed:]
         if r.done:
             break
-    # decode warmup at the same chunk size the timed loop uses
+    blob = b"".join(blob)
     wd = th.HuffmanDecoder(table)
-    wd.decode_chunk(blob[:cap])
-    wd.decode_chunk(blob[cap:])
+    for i in range(0, len(blob), cap):
+        wd.decode_chunk(blob[i:i + cap])
+    wc = th.HuffmanDecoder(table)
+    r = wc.decode_chunk(blob, capacity=cap)
+    while not r.done:
+        r = wc.decode_chunk(b"", capacity=cap)
 
     enc = th.HuffmanEncoder(table)
     t0 = time.perf_counter()
@@ -297,11 +303,7 @@ def bench_streaming(table, stream_mb, chunk_mb, emit):
     # Output-capacity-bounded decode (the SHORT_BUFFER resume protocol,
     # reference huffman.c:257-268): feed everything, then drain `cap`
     # symbols per call through the capped self-sync fast path.
-    dec2 = th.HuffmanDecoder(table)
-    r = dec2.decode_chunk(encoded[: 2 * cap], capacity=cap)  # warm compile
-    while not r.done:
-        r = dec2.decode_chunk(b"", capacity=cap)
-    dec2.reset()
+    dec2 = th.HuffmanDecoder(table)  # warmed by the full-protocol pass above
     t0 = time.perf_counter()
     got2 = []
     r = dec2.decode_chunk(encoded, capacity=cap)

@@ -408,8 +408,12 @@ class HuffmanEncoder:
             lens = table.lengths[symbols]
             idx = int(np.argmax(lens == 0))
             raise UnknownSymbolError(index=idx, symbol=int(symbols[idx]))
-        # learn/refresh span hints from the device-computed scalars
-        if nb > 1:
+        # learn span hints from the device-computed scalars — only when
+        # none are valid yet (or the static re-run invalidated them):
+        # re-learning every chunk wiggles Wb by a word and each distinct
+        # Wb is a fresh kernel compile (observed as a per-chunk compile
+        # storm in the 64 MiB streaming bench)
+        if nb > 1 and (not hints_ok or wb_cap is None):
             object.__setattr__(table, "_hint_key", (K, cap_len))
             ms = int(max_span)
             object.__setattr__(table, "_wb_hint", (ms + ms // 4) // 32 + 4)
