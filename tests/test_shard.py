@@ -33,6 +33,10 @@ def test_mesh_encode_bit_identical(table, corpus):
     assert mc.decode(enc, idx) == corpus
 
 
+@pytest.mark.skipif(
+    len(jax.devices()) < 8,
+    reason="needs the 8-device fake pod (CPU tier); the real rig has 1 chip",
+)
 def test_mesh_2d_dcn_ici(table, corpus):
     """2-D (hosts × chips) mesh: collectives across both axes."""
     devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
@@ -76,6 +80,10 @@ def test_mesh_unknown_symbol(table):
         mc.encode(b"ABC")
 
 
+@pytest.mark.skipif(
+    len(jax.devices()) < 8,
+    reason="needs the 8-device fake pod (CPU tier); the real rig has 1 chip",
+)
 def test_global_offsets_past_2_31_bits(table):
     """The cross-shard offset math must not wrap at 2^31 bits.
 

@@ -697,6 +697,11 @@ def _encode_pipeline(
     p32t, lent, min_len, max_len, interpret,
     gather_dmin=0,    # static: >0 = gather stitch tail (gather_tail_plan)
     nb=0,             # static: content blocks (ceil(n/K)); gather tail only
+    nb_t=None,        # traced: real content blocks <= nb. Shard bodies
+                      # (shard.py) have a data-dependent valid count, so
+                      # nb is their static upper bound and this masks the
+                      # empty tail blocks out of the gather-tail row-width
+                      # scatter (their r0 aliases the last real row).
 ):
     """Full fused encode: pack kernel + hierarchical offsets + stitch.
 
@@ -840,9 +845,17 @@ def _encode_pipeline(
         # with the static plan (same protocol as the wb_hint overflow).
         full = nsym[: nb - 1] >= K if nb > 1 else jnp.zeros((0,), jnp.bool_)
         ovf_any = ovf_any | jnp.any(full & (d_prev[1:] < gather_dmin))
+        vals_w1 = (nrows - d_prev).astype(jnp.int32)
+        uniq = True
+        if nb_t is not None:
+            # mask empty tail blocks (their r0 aliases the last real row,
+            # which also voids the unique-indices promise)
+            live = jax.lax.broadcasted_iota(jnp.int32, (nb,), 0) < nb_t
+            vals_w1 = jnp.where(live, vals_w1, 0)
+            uniq = False
         w1 = jnp.zeros((Wr,), jnp.int32).at[r0c].add(
-            (nrows - d_prev).astype(jnp.int32), mode="drop",
-            indices_are_sorted=True, unique_indices=True,
+            vals_w1, mode="drop",
+            indices_are_sorted=True, unique_indices=uniq,
         )
         Wexcl, _ = _exclusive_cumsum_blocks(w1, mxu_inner=True)
         src = (
@@ -882,6 +895,14 @@ def _encode_pipeline(
                 jnp.int32(Wr),
             )
             out2d = out2d.at[dst].add(buf2[seam_src], mode="drop")
+        if nb_t is not None:
+            # shard use: the clip-mode row gather can copy real rows past
+            # the shard's stream end, and the mesh stitch ORs the WHOLE
+            # window — zero everything past the last real output row
+            # (in-row bits past total are already zero in the pack buffers)
+            row_i = jax.lax.broadcasted_iota(jnp.int32, (Wr, 1), 0)
+            r_last = total_bits >> (5 + SW.bit_length() - 1)
+            out2d = jnp.where(row_i <= r_last, out2d, jnp.uint32(0))
     else:
         out2d = jnp.zeros((Wr, SW), dtype=jnp.uint32)
         for t in range(nrows):

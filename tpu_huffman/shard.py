@@ -144,7 +144,7 @@ def _shard_encode_body(symbols, n_valid, patterns, lengths, axes,
 
 def _shard_encode_body_pallas(symbols, n_valid, *, K, G, Wb, num_out_words,
                               p32t, lent, min_len, max_len, interpret, axes,
-                              offs_every: int = 0):
+                              offs_every: int = 0, gather_dmin: int = 0):
     """Per-shard Pallas pack + funnel to the global phase; under shard_map.
 
     Same contract as _shard_encode_body but the local pack is the
@@ -177,9 +177,14 @@ def _shard_encode_body_pallas(symbols, n_valid, *, K, G, Wb, num_out_words,
     # eos_padding=0: shard streams must NOT pad (only the global stream
     # end gets eos bits, applied by the caller); a zero pad ORs nothing.
     # Static Wb (no span hint) -> the overflow flag can never fire here.
+    # gather_dmin (round 5): the gather stitch tail at its STATIC floor —
+    # the shard's content-block count is data-dependent (nb_t), so nb is
+    # the static bound and the pipeline masks the empty tail blocks.
     words0, local_bits, _padded_bits, bad, _ovf, offs_sub = _encode_pipeline(
         syms_u32, nsym, jnp.uint32(0), K, G, Wb, num_out_words,
         p32t, lent, min_len, max_len, interpret,
+        gather_dmin=gather_dmin, nb=-(-n // K),
+        nb_t=(nv + K - 1) // K if gather_dmin else None,
     )
 
     # Funnel the phase-0 local stream to its global intra-word phase.
@@ -204,15 +209,24 @@ def _shard_encode_body_pallas(symbols, n_valid, *, K, G, Wb, num_out_words,
 
 @functools.partial(jax.jit, static_argnames=("num_out_words",))
 def _stitch_kernel(words, word_bases, num_out_words: int):
-    """Scatter-OR every shard's word window into the global stream.
+    """OR every shard's word window into the global stream.
 
     Bits are disjoint across shards (each owns a bit range; the slack words
-    past a shard's last bit are zero), so add == or.
+    past a shard's last bit are zero), so only the boundary word of each
+    window genuinely ORs. One read-OR-write dynamic window per shard:
+    the old elementwise scatter-add cost ~8 ns per scattered WORD (~20 ms
+    for an 8 MiB stream — round 5, prof_r5_mesh_encode.py), while the
+    window form is plain slice traffic. The +w over-allocation keeps
+    dynamic_slice from clamp-shifting the last shard's window; bits past
+    num_out_words are slack zeros and are trimmed on return.
     """
     ndev, w = words.shape
-    idx = word_bases[:, None] + jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
-    out = jnp.zeros(num_out_words, dtype=jnp.uint32)
-    return out.at[idx.reshape(-1)].add(words.reshape(-1), mode="drop")
+    out = jnp.zeros(num_out_words + w, dtype=jnp.uint32)
+    for d in range(ndev):
+        base = word_bases[d]
+        cur = jax.lax.dynamic_slice(out, (base,), (w,))
+        out = jax.lax.dynamic_update_slice(out, cur | words[d], (base,))
+    return out[:num_out_words]
 
 
 @dataclasses.dataclass
@@ -289,12 +303,13 @@ class MeshCodec:
         if self._pallas_encode_ok:
             K = pe.pack_k(self.table)
             p32t, lent, mn, mx, Wb, G, now = pe._plan(self.table, per_dev, K)
+            gdmin, _jm = pe.gather_tail_plan(K, mn, mx, Wb, None)
             body = functools.partial(
                 _shard_encode_body_pallas,
                 K=K, G=G, Wb=Wb, num_out_words=now,
                 p32t=p32t, lent=lent, min_len=mn, max_len=mx,
                 interpret=pe._use_interpret(), axes=axes,
-                offs_every=offs_every,
+                offs_every=offs_every, gather_dmin=gdmin,
             )
         else:
             body = functools.partial(
