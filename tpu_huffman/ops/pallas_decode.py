@@ -1041,15 +1041,20 @@ def decode_indexed_pallas(
     Caller must check :func:`supports` first. Bit-exact with the reference
     decoder over indexed streams (same symbols; trailing padding ignored).
     """
-    from .bitpack import words_from_bytes_np
-
     intervals, aux = decode_dispatch(table)
     raw = bytes(data) if isinstance(data, (bytes, bytearray)) else np.asarray(data, dtype=np.uint8).tobytes()
     if index.total_symbols == 0:
         return b""
     K = index.symbols_per_block
-    words_np, _ = words_from_bytes_np(raw)
-    words_np = np.concatenate([words_np, np.zeros(2, np.uint32)])
+    # byteswap on device (round 5): the host big-endian astype cost
+    # ~140 ms per 8 MiB of a transfer-bound wall; the device swap is a
+    # few fused VPU ops whose dispatch overlaps the pipeline's.
+    from .selfsync import _words_from_u8_dev
+
+    nw = len(raw) // 4 + 3
+    pad8 = np.zeros(nw * 4, np.uint8)
+    pad8[: len(raw)] = np.frombuffer(raw, np.uint8)
+    words_np = _words_from_u8_dev(jnp.asarray(pad8))
 
     B = index.bit_offsets.size
     off64 = index.bit_offsets.astype(np.int64)

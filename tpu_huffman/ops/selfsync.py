@@ -408,11 +408,13 @@ def selfsync_decode_ex(
         mask = np.arange(syms.shape[1])[None, :] < counts[:, None]
         body_bytes = syms[mask].tobytes()
 
-    # Tail: everything from the last full segment's exit onward.
+    # Tail: everything from the last full segment's exit onward (read only
+    # the tail bytes — a whole-stream bigint cost ~20 ms per 8 MiB).
     total_bits = len(raw) * 8
-    value = int.from_bytes(raw, "big")
     left = total_bits - tail_start_bit
-    tail_value = value & ((1 << left) - 1)
+    tail_value = int.from_bytes(raw[tail_start_bit >> 3 :], "big") & (
+        (1 << left) - 1
+    )
     tail, pos = _decode_tail_host(table, tail_value, left)
     return body_bytes + bytes(tail), tail_start_bit + pos
 
@@ -467,6 +469,19 @@ def _stage_windows_dev(jwords, Bp: int, seg_words: int):
     return win.reshape(G, 8, 128, Wb).transpose(0, 3, 1, 2)
 
 
+@jax.jit
+def _words_from_u8_dev(u8):
+    """bitpack words (bit 0 = MSB of byte 0) from raw little-endian bytes,
+    computed on device — the host twin is words_from_bytes_np."""
+    x = jax.lax.bitcast_convert_type(u8.reshape(-1, 4), jnp.uint32).reshape(-1)
+    return (
+        ((x & jnp.uint32(0xFF)) << 24)
+        | ((x & jnp.uint32(0xFF00)) << 8)
+        | ((x >> 8) & jnp.uint32(0xFF00))
+        | (x >> 24)
+    )
+
+
 def _selfsync_segments(raw: bytes, table: HuffmanTable, seg_words: int,
                        start_bit: int, dense: bool = False):
     """Run the fixpoint kernel over the stream's full segments.
@@ -487,12 +502,16 @@ def _selfsync_segments(raw: bytes, table: HuffmanTable, seg_words: int,
     if plan is None:
         return None
     S, G, Bp, seg_bits, need_words = plan
-    words_np, _ = words_from_bytes_np(raw)
-    padded = np.zeros(need_words, np.uint32)
-    padded[: min(words_np.size, need_words)] = words_np[:need_words]
+    # Stage the raw bytes and byteswap ON DEVICE: the host big-endian
+    # astype cost ~140 ms per 8 MiB (round 5, prof_r5_foreign_ab.py);
+    # the device swap is a few fused VPU ops and its dispatch overlaps
+    # the pipeline's.
+    nb_need = min(len(raw), need_words * 4)
+    pad8 = np.zeros(need_words * 4, np.uint8)
+    pad8[:nb_need] = np.frombuffer(raw, np.uint8, nb_need)
     return _segments_from_words(
-        jnp.asarray(padded), table, seg_words, start_bit, S, G, Bp, seg_bits,
-        dense=dense,
+        _words_from_u8_dev(jnp.asarray(pad8)), table, seg_words, start_bit,
+        S, G, Bp, seg_bits, dense=dense,
     )
 
 
@@ -545,19 +564,40 @@ def _segments_from_words(jwords, table: HuffmanTable, seg_words: int,
         jwords = jnp.pad(jwords, (0, w0 + need_words - jwords.shape[0]))
 
     if dense:
+        full_grid = S_dl * (max_syms + PATCH_SYMS)
+        rate = getattr(table, "_dec_rate_hint", None)
+        n_dl = (
+            _dl_bucket(rate * S * seg_bits, full_grid)
+            if rate is not None else full_grid
+        )
         body_pad, small, raw = _segments_pipeline_dense(
             jwords, jnp.int32(w0), jnp.int32(start_bit),
             jnp.asarray(table.lengths.astype(np.int32)), jnp.int32(S),
             need_words=need_words, G=G, seg_words=seg_words,
             S_dl=S_dl, max_syms=max_syms, intervals=intervals, aux=aux,
-            interpret=interp,
+            interpret=interp, n_dl=n_dl,
         )
-        total, all_ok, last_exit, counts_d, resolved_d, e1_d, exits0_d = (
-            jax.device_get(small)
-        )
+        (total, all_ok, last_exit, counts_d, resolved_d, e1_d, exits0_d,
+         dl_over) = jax.device_get(small)
         tail_start_bit = S * seg_bits + int(last_exit) - seg_bits
         n_body = int(total)
+        if bool(dl_over):
+            # body outgrew the rate-hint slot grid: refresh the hint and
+            # re-run once with the worst-case grid (rare; data shifted)
+            _learn_dl_rate(table, n_body, S * seg_bits)
+            body_pad, small, raw = _segments_pipeline_dense(
+                jwords, jnp.int32(w0), jnp.int32(start_bit),
+                jnp.asarray(table.lengths.astype(np.int32)), jnp.int32(S),
+                need_words=need_words, G=G, seg_words=seg_words,
+                S_dl=S_dl, max_syms=max_syms, intervals=intervals, aux=aux,
+                interpret=interp, n_dl=full_grid,
+            )
+            (total, all_ok, last_exit, counts_d, resolved_d, e1_d,
+             exits0_d, _over2) = jax.device_get(small)
+            tail_start_bit = S * seg_bits + int(last_exit) - seg_bits
+            n_body = int(total)
         if bool(all_ok):
+            _learn_dl_rate(table, n_body, S * seg_bits)
             body = np.asarray(body_pad[:n_body]).tobytes()
             return ("dense", body, tail_start_bit)
         # Repair + splice: re-decode the failed segments from their true
@@ -883,7 +923,7 @@ def _segments_pipeline_fast(buf, w0, start_bit, rs, *, need_words, G,
 
 
 def _dense_core(buf, w0, start_bit, lengths, rs, *, need_words, G, seg_words,
-                S_dl, max_syms, intervals, aux, interpret):
+                S_dl, max_syms, intervals, aux, interpret, n_dl=None):
     """One-pass + patch + DEVICE merge-stitch (round 4, VERDICT r3 #2b/c).
 
     The round-3 fast path downloaded per-symbol pass-0 boundary offsets
@@ -1038,7 +1078,17 @@ def _dense_core(buf, w0, start_bit, lengths, rs, *, need_words, G, seg_words,
         [comb.reshape(S_dl * stride), rep_syms.reshape(LANES * 4 * K4)]
     )
     pos_seg, total = _exclusive_cumsum_blocks(counts_asm)
-    N_pad = S_dl * (max_syms + A)
+    # Output slot grid (round 5): the flat body gather costs ~8 ns per
+    # SLOT, and the worst-case grid S_dl*(max_syms+A) is ~4x the real
+    # body on typical data (261 of the dense path's 365 ms at 8 MiB,
+    # prof_r5_dense_split.py). Callers pass a rate-hint bucket ``n_dl``;
+    # slots past it are simply never materialized — channel scatters
+    # drop, prefix cumsums stay exact for the kept slots — and a body
+    # that outgrows the bucket is reported via dl_over (capped callers
+    # size n_dl >= capacity and only read past-cut slots when not over,
+    # so they never need the flag).
+    N_pad = n_dl if n_dl is not None else S_dl * (max_syms + A)
+    dl_over = total > jnp.int32(min(N_pad, (1 << 31) - 1))
     base_seg = jnp.where(
         repaired,
         jnp.int32(S_dl * stride) + lane_map * jnp.int32(4 * K4),
@@ -1086,6 +1136,7 @@ def _dense_core(buf, w0, start_bit, lengths, rs, *, need_words, G, seg_words,
         resolved_out,
         e1,
         exits0,
+        dl_over,
     )
     cut = dict(
         counts=counts_asm, pA=pA, starts0=starts0, i_eff=i_eff_asm, j_s=j_s,
@@ -1094,20 +1145,37 @@ def _dense_core(buf, w0, start_bit, lengths, rs, *, need_words, G, seg_words,
     return body_pad, small, raw, cut
 
 
+def _dl_bucket(est: int, full: int) -> int:
+    """Slot-grid bucket: round ``est`` up to 1/8-pow2 granularity (<=12.5%
+    overshoot, bounded compile count), clipped to the worst-case grid."""
+    b = max(1024, min(int(est), full))
+    if b >= full:
+        return full
+    k = max(0, b.bit_length() - 4)
+    return min(full, -(-b >> k) << k)
+
+
+def _learn_dl_rate(table, total_body: int, covered_bits: int) -> None:
+    if covered_bits > 0 and total_body > 0:
+        object.__setattr__(
+            table, "_dec_rate_hint", 1.15 * total_body / covered_bits
+        )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "need_words", "G", "seg_words", "S_dl", "max_syms", "intervals",
-        "aux", "interpret",
+        "aux", "interpret", "n_dl",
     ),
 )
 def _segments_pipeline_dense(buf, w0, start_bit, lengths, rs, *, need_words,
                              G, seg_words, S_dl, max_syms, intervals, aux,
-                             interpret):
+                             interpret, n_dl=None):
     body_pad, small, raw, _cut = _dense_core(
         buf, w0, start_bit, lengths, rs, need_words=need_words, G=G,
         seg_words=seg_words, S_dl=S_dl, max_syms=max_syms,
-        intervals=intervals, aux=aux, interpret=interpret,
+        intervals=intervals, aux=aux, interpret=interpret, n_dl=n_dl,
     )
     return body_pad, small, raw
 
@@ -1116,13 +1184,13 @@ def _segments_pipeline_dense(buf, w0, start_bit, lengths, rs, *, need_words,
     jax.jit,
     static_argnames=(
         "need_words", "G", "seg_words", "S_dl", "max_syms", "intervals",
-        "aux", "interpret",
+        "aux", "interpret", "n_dl",
     ),
 )
 def _segments_pipeline_dense_capped(buf, w0, start_bit, lengths, rs,
                                     capacity, *, need_words, G, seg_words,
                                     S_dl, max_syms, intervals, aux,
-                                    interpret):
+                                    interpret, n_dl=None):
     """Dense pipeline + the capacity cut computed ON DEVICE (round 4,
     VERDICT r3 #8): the capped streaming drain needs (emitted symbols,
     resume bit, more) — with the cut segment and its boundary bit found
@@ -1136,7 +1204,7 @@ def _segments_pipeline_dense_capped(buf, w0, start_bit, lengths, rs,
     body_pad, small, raw, cut = _dense_core(
         buf, w0, start_bit, lengths, rs, need_words=need_words, G=G,
         seg_words=seg_words, S_dl=S_dl, max_syms=max_syms,
-        intervals=intervals, aux=aux, interpret=interpret,
+        intervals=intervals, aux=aux, interpret=interpret, n_dl=n_dl,
     )
     counts = cut["counts"]
     seg_bits = seg_words * 32
@@ -1317,12 +1385,12 @@ def _value_from_words_np(words_np: np.ndarray, base_bit: int, from_bit: int,
     donate_argnums=(0,),
     static_argnames=(
         "sh", "capped", "need_words", "G", "seg_words", "S_dl", "max_syms",
-        "intervals", "aux", "interpret", "cap_slice",
+        "intervals", "aux", "interpret", "cap_slice", "n_dl",
     ),
 )
 def _fused_drain_call(buf, up, cw, w0b, w0, sb, rs, capacity, lengths, *,
                       sh, capped, need_words, G, seg_words, S_dl, max_syms,
-                      intervals, aux, interpret, cap_slice):
+                      intervals, aux, interpret, cap_slice, n_dl=None):
     """ONE device program per streaming drain (round 5, VERDICT r4 #3).
 
     Fuses the four dispatches a `decode_chunk` call used to pay — compact
@@ -1360,14 +1428,14 @@ def _fused_drain_call(buf, up, cw, w0b, w0, sb, rs, capacity, lengths, *,
             buf, w0, sb, lengths, rs, capacity,
             need_words=need_words, G=G, seg_words=seg_words, S_dl=S_dl,
             max_syms=max_syms, intervals=intervals, aux=aux,
-            interpret=interpret,
+            interpret=interpret, n_dl=n_dl,
         )
     else:
         body_pad, small, _raw = _segments_pipeline_dense(
             buf, w0, sb, lengths, rs,
             need_words=need_words, G=G, seg_words=seg_words, S_dl=S_dl,
             max_syms=max_syms, intervals=intervals, aux=aux,
-            interpret=interpret,
+            interpret=interpret, n_dl=n_dl,
         )
         cut_small = (jnp.bool_(False), jnp.int32(0), small[0])
     # 4. tail window at the resume point (host finishes the last partial
@@ -1451,14 +1519,19 @@ def fused_drain_words(
         buf = jax.lax.dynamic_update_slice(grown, buf, (0,))
     max_syms = -(-((seg_bits + table.max_len) // min_len + 1) // 4) * 4
     S_dl = min(Bp, max(16, 1 << (S - 1).bit_length()))
+    full_grid = S_dl * (max_syms + PATCH_SYMS)
     if capacity is None:
-        # pow2 bucket >= the body-symbol bound (disjoint codes >= min_len
-        # within S*seg_bits < total_bits, +2 slack for the seam symbol)
-        cap_slice = min(S_dl * (max_syms + PATCH_SYMS),
-                        1 << max(4, (total_bits // min_len + 1)
-                                 .bit_length()))
+        # slot grid from the learned decode rate (bytes per stream bit);
+        # total_body > cap_slice falls back below, which also refreshes
+        # the hint. First call: the min_len worst-case bound.
+        rate = getattr(table, "_dec_rate_hint", None)
+        est = (rate * total_bits) if rate is not None else (
+            total_bits // min_len + 2
+        )
+        cap_slice = _dl_bucket(est, full_grid)
     else:
         cap_slice = min(int(capacity), S * (max_syms + PATCH_SYMS))
+    n_dl = _dl_bucket(cap_slice, full_grid)
     up_j = jnp.asarray(
         up if up is not None else np.zeros(0, np.uint32)
     )
@@ -1472,12 +1545,14 @@ def fused_drain_words(
         sh=sh, capped=capacity is not None, need_words=need_words, G=G,
         seg_words=seg_words, S_dl=S_dl, max_syms=max_syms,
         intervals=intervals, aux=aux, interpret=_use_interpret(),
-        cap_slice=cap_slice,
+        cap_slice=cap_slice, n_dl=n_dl,
     )
     body_cap, sm, cs, tailw_np = jax.device_get(
         (body_pad, small, cut_small, tailw)
     )
     total_body, all_ok, last_exit = int(sm[0]), bool(sm[1]), int(sm[2])
+    if capacity is None:
+        _learn_dl_rate(table, total_body, S * seg_bits)
     if not all_ok or (capacity is None and total_body > cap_slice):
         raise _FusedFallback(new_buf)
     tail_start_bit = S * seg_bits + last_exit - seg_bits
@@ -1596,15 +1671,19 @@ def selfsync_decode_capped_words(
         jwords = buf
         if jwords.shape[0] < w0 + need_words:
             jwords = jnp.pad(jwords, (0, w0 + need_words - jwords.shape[0]))
+        cap_slice = min(int(capacity), S * (max_syms + PATCH_SYMS))
+        # capacity-sized slot grid: slots past the cut are never read when
+        # over; when not over the body fits the capacity, so no dl_over
+        # handling is needed on this path
+        n_dl = _dl_bucket(cap_slice, S_dl * (max_syms + PATCH_SYMS))
         body_pad, small, _raw, cut_small = _segments_pipeline_dense_capped(
             jwords, jnp.int32(w0), jnp.int32(sb),
             jnp.asarray(table.lengths.astype(np.int32)), jnp.int32(S),
             jnp.int32(min(capacity, 1 << 30)),
             need_words=need_words, G=G, seg_words=seg_words,
             S_dl=S_dl, max_syms=max_syms, intervals=intervals, aux=aux,
-            interpret=interp,
+            interpret=interp, n_dl=n_dl,
         )
-        cap_slice = min(int(capacity), S * (max_syms + PATCH_SYMS))
         body_cap, sm, cs = jax.device_get(
             (body_pad[:cap_slice], small, cut_small)
         )
