@@ -151,6 +151,13 @@ def bench_corpus(name, data_np, table, K, reps, emit):
     assert supports(table, K)
     struct = structure_for(table)
     p32_flat = tuple(x for row in struct.p32 for x in row)
+    # Split-plan decode (round 5): plan the kernel on the corpus's actual
+    # code-length envelope (what decode_indexed does via the index's
+    # max_code_len) — shorter interval chains + more window reuse.
+    from tpu_huffman.ops.pallas_decode import capped_intervals
+
+    eff = int(table.lengths[data_np].max())
+    iv = capped_intervals(struct.intervals, eff) or struct.intervals
     symbols = jnp.asarray(data_np)
 
     # The sample-planned span envelope is the production steady state
@@ -192,7 +199,7 @@ def bench_corpus(name, data_np, table, K, reps, emit):
     def dec_body(i, carry):
         w = jw ^ carry
         out, end, bad = _decode_pipeline_dual(
-            w, jb, jr, jm, jn, Kh, Wb, Wbh, G, struct.intervals, p32_flat,
+            w, jb, jr, jm, jn, Kh, Wb, Wbh, G, iv, p32_flat,
             interp,
         )
         return (
@@ -211,7 +218,7 @@ def bench_corpus(name, data_np, table, K, reps, emit):
     # clocks stopped: verify
     enc_out = enc_finalize(symbols)
     dec_out = _decode_pipeline_dual(
-        jw, jb, jr, jm, jn, Kh, Wb, Wbh, G, struct.intervals, p32_flat, interp
+        jw, jb, jr, jm, jn, Kh, Wb, Wbh, G, iv, p32_flat, interp
     )
     d_padded = enc_out[2]
     enc_bytes = bytes_from_words_np(np.asarray(enc_out[0]), int(d_padded) // 8)

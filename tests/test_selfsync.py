@@ -225,3 +225,23 @@ def test_one_pass_text_corpus_and_chunks(table):
         rem + enc[900:], table, seg_words=4, start_bit=end1 % 8
     )
     assert out1 + out2 == data
+
+
+@pytest.mark.slow
+def test_in_graph_repair_splices_failed_segments(table, monkeypatch):
+    """Round 5: segments that fail to merge within the patch reach are
+    re-decoded and spliced INSIDE the dense program (no classic-path
+    fallback). A 4-symbol patch over 256-bit segments makes failures
+    plentiful; _REPAIR_IN_INTERPRET turns the in-graph repair on for the
+    interpret tier and the happy ("dense") path must still produce the
+    exact stream — which proves the repair validated and spliced,
+    because with failures present all_ok is only true post-repair."""
+    import jax.numpy as jnp
+
+    monkeypatch.setattr(selfsync, "PATCH_SYMS", 4)
+    monkeypatch.setattr(selfsync, "_REPAIR_IN_INTERPRET", True)
+    rng = np.random.default_rng(33)
+    data = rng.integers(0, 256, size=16000, dtype=np.uint8).tobytes()
+    enc = th.encode(data, table)
+    out, end = selfsync.selfsync_decode_ex(enc, table, seg_words=8)
+    assert out == data

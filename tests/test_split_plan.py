@@ -59,19 +59,32 @@ def test_plan_cap_noop_when_unattainable(hpack):
         assert capped[:4] == full[:4]
 
 
-def test_one_shot_exact_with_and_without_deep_codes(hpack):
+def test_one_shot_exact_with_and_without_deep_codes(partial_table):
+    # the partial table (max 17 bits) keeps the deep-plan interpret run
+    # affordable in the default gate; the hpack-30 deep plan runs in the
+    # slow twin below
+    t = partial_table
+    rng = np.random.default_rng(5)
+    data = rng.integers(0, 32, size=2048, dtype=np.uint8)
+    got, _ = pallas_encode.encode(data.tobytes(), t)
+    assert got == _host_encode(data, t)
+    # same data with one deep (17-bit) code spliced in: the exact
+    # envelope re-plans deep and stays bit-identical
+    deep_sym = int(np.argmax(t.lengths))
+    data2 = data.copy()
+    data2[137] = deep_sym
+    got2, _ = pallas_encode.encode(data2.tobytes(), t)
+    assert got2 == _host_encode(data2, t)
+
+
+@pytest.mark.slow
+def test_one_shot_exact_deep_hpack(hpack):
     rng = np.random.default_rng(5)
     shallow_syms = np.flatnonzero(hpack.lengths <= 8)
     data = rng.choice(shallow_syms, size=2048).astype(np.uint8)
+    data[137] = int(np.argmax(hpack.lengths))  # one 30-bit code
     got, _ = pallas_encode.encode(data.tobytes(), hpack)
     assert got == _host_encode(data, hpack)
-    # same data with one deep (30-bit) code spliced in: the exact
-    # envelope re-plans deep and stays bit-identical
-    deep_sym = int(np.argmax(hpack.lengths))
-    data2 = data.copy()
-    data2[137] = deep_sym
-    got2, _ = pallas_encode.encode(data2.tobytes(), hpack)
-    assert got2 == _host_encode(data2, hpack)
 
 
 def test_encode_step_shallow_miss_raises_overflow(hpack):
@@ -122,20 +135,20 @@ def test_best_encode_step_derives_cap_from_sample(hpack):
         _host_encode(data, hpack)
 
 
-def test_hint_key_invalidates_across_plans(hpack):
+def test_hint_key_invalidates_across_plans(partial_table):
     # learn hints under the shallow plan, then encode deep data: the
     # (K, cap) hint key must not leak shallow span hints into the deep
     # plan (they would be wrong for its K/S shape).
+    t = partial_table
     rng = np.random.default_rng(9)
-    shallow_syms = np.flatnonzero(hpack.lengths <= 8)
-    d1 = rng.choice(shallow_syms, size=2048).astype(np.uint8)
-    pallas_encode.encode(d1.tobytes(), hpack)
-    key1 = getattr(hpack, "_hint_key", None)
-    d2 = rng.integers(0, 256, size=2048, dtype=np.uint8)
-    got, _ = pallas_encode.encode(d2.tobytes(), hpack)
-    assert got == _host_encode(d2, hpack)
-    key2 = getattr(hpack, "_hint_key", None)
-    assert key1 != key2  # deep envelope re-keyed the hints
+    d1 = rng.integers(0, 32, size=2048, dtype=np.uint8)  # all 6-bit codes
+    pallas_encode.encode(d1.tobytes(), t)
+    key1 = getattr(t, "_hint_key", None)
+    d2 = rng.integers(0, 40, size=2048, dtype=np.uint8)  # up to 17-bit
+    got, _ = pallas_encode.encode(d2.tobytes(), t)
+    assert got == _host_encode(d2, t)
+    key2 = getattr(t, "_hint_key", None)
+    assert key1 != key2  # deeper envelope re-keyed the hints
 
 
 def test_offsets_granularity_consistent_under_cap(hpack):
@@ -151,3 +164,25 @@ def test_offsets_granularity_consistent_under_cap(hpack):
     lens = hpack.lengths[data].astype(np.int64)
     starts = np.cumsum(lens) - lens
     assert (offsets.astype(np.int64) == starts[::every]).all()
+
+
+def test_indexed_decode_split_plan(partial_table):
+    """The index carries the stream's code-length envelope; the decoder
+    plans its kernel on it, and an UNDERSTATED envelope (deeper codes in
+    the stream) poisons and re-runs with the full structure — never a
+    wrong decode."""
+    import dataclasses
+
+    t = partial_table
+    rng = np.random.default_rng(11)
+    data = rng.integers(0, 32, size=4096, dtype=np.uint8)  # all 6-bit
+    enc, idx = th.encode_with_index(data.tobytes(), t, block_symbols=32)
+    assert idx.max_code_len == 6
+    assert th.decode_indexed(enc, idx, t) == data.tobytes()
+    # stream with deeper codes + a deliberately understated cap: the
+    # capped attempt must fall through to the full structure
+    data2 = rng.integers(0, 40, size=4096, dtype=np.uint8)
+    enc2, idx2 = th.encode_with_index(data2.tobytes(), t, block_symbols=32)
+    assert idx2.max_code_len == int(t.lengths[data2].max())
+    idx3 = dataclasses.replace(idx2, max_code_len=6)
+    assert th.decode_indexed(enc2, idx3, t) == data2.tobytes()

@@ -480,7 +480,7 @@ def test_fused_bulk_encode_chunk_protocol(monkeypatch):
     table = th.load_static_test_table()
     rng = np.random.default_rng(31)
     data = rng.integers(0, 256, size=3000, dtype=np.uint8).tobytes()
-    cap = 700
+    cap = 1300  # 3 capped calls: every interpret-mode bulk call costs ~8 s
 
     def protocol(enc):
         chunks = []

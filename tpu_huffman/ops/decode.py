@@ -187,6 +187,11 @@ class BlockIndex:
     n_symbols: np.ndarray  # int32[B]: symbol count per block
     total_symbols: int
     total_bits: int  # unpadded bit length of the stream
+    # The stream's actual max code length (0 = unknown): lets the decoder
+    # plan its kernel on the data's envelope (split plan, round 5) — an
+    # understated value is still safe, the kernel's poison flag triggers a
+    # full-structure re-run.
+    max_code_len: int = 0
 
 
 def decode(

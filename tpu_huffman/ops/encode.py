@@ -303,6 +303,7 @@ def encode_with_index(
         k = pallas_encode.offset_granularity(table)
     else:
         k = 0
+    eff = int(table.lengths[symbols].max())
     if k and block_symbols % k == 0:
         from . import pallas_encode
 
@@ -318,6 +319,7 @@ def encode_with_index(
             n_symbols=n_syms,
             total_symbols=n,
             total_bits=total_bits,
+            max_code_len=eff,
         )
         return out, index
     bucket = max(_bucket_size(n), block_symbols)
@@ -349,6 +351,7 @@ def encode_with_index(
         n_symbols=n_syms,
         total_symbols=n,
         total_bits=int(total_bits),
+        max_code_len=eff,
     )
     nbytes = int(padded_bits) // 8
     return bytes_from_words_np(np.asarray(words), nbytes), index

@@ -122,6 +122,24 @@ def structure_for(table: HuffmanTable) -> RangeMonotone | None:
         return struct
 
 
+def capped_intervals(intervals: tuple, maxlen_cap: int):
+    """Split-plan decode (round 5): the interval tuple restricted to code
+    lengths <= maxlen_cap, or None when capping gains nothing.
+
+    A window holding a deeper code matches NO kept interval and decodes
+    ln == 0 — the same poison contract Kraft-incomplete tables use — so
+    the caller re-runs with the full structure on the bad flag. Shorter
+    compare chains AND a larger per-window symbol count (M = 32 // max_len
+    in the kernels) follow automatically; the perm stays the full table's
+    (kept intervals' biases index it unchanged).
+    """
+    lens = [L for (_lo, _hi, L, _s, _b) in intervals]
+    if maxlen_cap <= 0 or maxlen_cap >= max(lens):
+        return None
+    kept = tuple(iv for iv in intervals if iv[2] <= maxlen_cap)
+    return kept if kept else None
+
+
 @dataclasses.dataclass(frozen=True)
 class Predecessor:
     """General-table decode structure: sorted codeword-boundary search.
@@ -1046,6 +1064,16 @@ def decode_indexed_pallas(
     if index.total_symbols == 0:
         return b""
     K = index.symbols_per_block
+    # Split-plan decode (round 5): plan the kernel on the stream's code-
+    # length envelope when the index carries it. A deeper-than-cap window
+    # poisons (ln == 0) and the full structure re-runs; a genuinely
+    # corrupt stream raises from the full attempt.
+    attempts = [intervals]
+    cap = int(getattr(index, "max_code_len", 0) or 0)
+    if intervals is not None and cap:
+        capped = capped_intervals(intervals, cap)
+        if capped is not None:
+            attempts.insert(0, capped)
     # byteswap on device (round 5): the host big-endian astype cost
     # ~140 ms per 8 MiB of a transfer-bound wall; the device swap is a
     # few fused VPU ops whose dispatch overlaps the pipeline's.
@@ -1074,11 +1102,14 @@ def decode_indexed_pallas(
             off64, index.n_symbols, index.total_bits, table, K
         )
         Bp = G * LANES
-        out, _end, bad = _decode_pipeline_dual(
-            jnp.asarray(words_np), jnp.asarray(base), jnp.asarray(rel),
-            jnp.asarray(relm), jnp.asarray(nsym),
-            K, Wb, Wbh, G, intervals, aux, _use_interpret(),
-        )
+        for iv in attempts:
+            out, _end, bad = _decode_pipeline_dual(
+                jnp.asarray(words_np), jnp.asarray(base), jnp.asarray(rel),
+                jnp.asarray(relm), jnp.asarray(nsym),
+                K, Wb, Wbh, G, iv, aux, _use_interpret(),
+            )
+            if not bool(bad):
+                break
         if bool(bad):
             from ..errors import UnknownSymbolError
 
@@ -1100,11 +1131,15 @@ def decode_indexed_pallas(
     rel[:B] = off64 & 31
     nsym[:B] = index.n_symbols
 
-    out, _end, bad = _decode_pipeline(
-        jnp.asarray(words_np), jnp.asarray(base), jnp.asarray(rel), jnp.asarray(nsym),
-        K, Wb, G, intervals, aux,
-        _use_interpret(),
-    )
+    for iv in attempts:
+        out, _end, bad = _decode_pipeline(
+            jnp.asarray(words_np), jnp.asarray(base), jnp.asarray(rel),
+            jnp.asarray(nsym),
+            K, Wb, G, iv, aux,
+            _use_interpret(),
+        )
+        if not bool(bad):
+            break
     if bool(bad):
         from ..errors import UnknownSymbolError
 

@@ -576,6 +576,7 @@ def _segments_from_words(jwords, table: HuffmanTable, seg_words: int,
             need_words=need_words, G=G, seg_words=seg_words,
             S_dl=S_dl, max_syms=max_syms, intervals=intervals, aux=aux,
             interpret=interp, n_dl=n_dl,
+            repair=(not interp) or _REPAIR_IN_INTERPRET,
         )
         (total, all_ok, last_exit, counts_d, resolved_d, e1_d, exits0_d,
          dl_over) = jax.device_get(small)
@@ -591,6 +592,7 @@ def _segments_from_words(jwords, table: HuffmanTable, seg_words: int,
                 need_words=need_words, G=G, seg_words=seg_words,
                 S_dl=S_dl, max_syms=max_syms, intervals=intervals, aux=aux,
                 interpret=interp, n_dl=full_grid,
+                repair=(not interp) or _REPAIR_IN_INTERPRET,
             )
             (total, all_ok, last_exit, counts_d, resolved_d, e1_d,
              exits0_d, _over2) = jax.device_get(small)
@@ -922,8 +924,17 @@ def _segments_pipeline_fast(buf, w0, start_bit, rs, *, need_words, G,
     )
 
 
+# In-graph repair under the Pallas interpreter: off by default — the
+# extra interpreted kernel instance inflates every dense executable (and
+# its per-process compile-cache load) in the CPU test tier, where the
+# classic host-repair fallback already owns correctness. The dedicated
+# interpret-mode repair test flips this on.
+_REPAIR_IN_INTERPRET = False
+
+
 def _dense_core(buf, w0, start_bit, lengths, rs, *, need_words, G, seg_words,
-                S_dl, max_syms, intervals, aux, interpret, n_dl=None):
+                S_dl, max_syms, intervals, aux, interpret, n_dl=None,
+                repair=True):
     """One-pass + patch + DEVICE merge-stitch (round 4, VERDICT r3 #2b/c).
 
     The round-3 fast path downloaded per-symbol pass-0 boundary offsets
@@ -1014,6 +1025,21 @@ def _dense_core(buf, w0, start_bit, lengths, rs, *, need_words, G, seg_words,
     # splice the repaired chains into the dense assembly and the cut.
     R_MAX = 256  # lens-gather cost bounds this (~8 ns/element); >> the
     #              classic threshold max(64, S>>5)
+    if not repair:
+        # interpret-mode tier (see _REPAIR_IN_INTERPRET): unresolved
+        # segments go to the classic host-repair fallback instead
+        counts_asm = counts
+        all_ok = jnp.all(resolved)
+        resolved_out = resolved
+        repaired = jnp.zeros_like(fail)
+        lane_map = jnp.zeros((S_dl,), jnp.int32)
+        starts_r = jnp.zeros((1, max_syms), jnp.int32)
+        rep_syms = jnp.zeros((1, 4 * K4), jnp.uint8)
+        return _dense_assemble(
+            symsA, syms0, rep_syms, counts_asm, i_eff, j_s, repaired,
+            lane_map, starts_r, exits0, e1, raw, all_ok, resolved_out,
+            counts, pA, starts0, rs, S_dl, max_syms, A, K4, n_dl,
+        )
     n_fail = jnp.sum(fail.astype(jnp.int32))
     posf = jnp.cumsum(fail.astype(jnp.int32)) - 1
     idx_r = jnp.zeros((LANES,), jnp.int32).at[
@@ -1069,13 +1095,26 @@ def _dense_core(buf, w0, start_bit, lengths, rs, *, need_words, G, seg_words,
     counts_asm = jnp.where(repair_ok, counts_spliced, counts)
     all_ok = repair_ok
     resolved_out = jnp.where(repair_ok, jnp.ones_like(resolved), resolved)
+    return _dense_assemble(
+        symsA, syms0, rep_syms, counts_asm, i_eff, j_s, repaired,
+        lane_map, starts_r, exits0, e1, raw, all_ok, resolved_out,
+        counts, pA, starts0, rs, S_dl, max_syms, A, K4, n_dl,
+    )
 
-    # ---- dense assembly: out = concat_s(patch[s,:i_eff] + pass0[s,j_s:count0])
-    # (or the repaired chain rep_syms[lane_map[s], :counts_r] wholesale)
+
+def _dense_assemble(symsA, syms0, rep_syms, counts_asm, i_eff, j_s, repaired,
+                    lane_map, starts_r, exits0, e1, raw, all_ok,
+                    resolved_out, counts, pA, starts0, rs, S_dl, max_syms,
+                    A, K4, n_dl):
+    """Dense assembly: out = concat_s(patch[s,:i_eff] + pass0[s,j_s:count0])
+    (or the repaired chain rep_syms[lane_map[s], :counts] wholesale)."""
+    from .pallas_encode import _exclusive_cumsum_blocks
+
     comb = jnp.concatenate([symsA, syms0], axis=1)  # (S_dl, A + 4*K4)
     stride = A + 4 * K4
+    n_rep = rep_syms.shape[0] * 4 * K4
     comb_flat = jnp.concatenate(
-        [comb.reshape(S_dl * stride), rep_syms.reshape(LANES * 4 * K4)]
+        [comb.reshape(S_dl * stride), rep_syms.reshape(n_rep)]
     )
     pos_seg, total = _exclusive_cumsum_blocks(counts_asm)
     # Output slot grid (round 5): the flat body gather costs ~8 ns per
@@ -1124,7 +1163,7 @@ def _dense_core(buf, w0, start_bit, lengths, rs, *, need_words, G, seg_words,
     t_iota = jnp.arange(N_pad, dtype=jnp.int32)
     u = t_iota - P
     col = jnp.where(u < F, u, u - F + Jt)
-    src = jnp.clip(base_f + col, 0, S_dl * stride + LANES * 4 * K4 - 1)
+    src = jnp.clip(base_f + col, 0, S_dl * stride + n_rep - 1)
     body_pad = jnp.take(comb_flat, src)
     last_exit = jnp.take(exits0, jnp.clip(rs - 1, 0, S_dl - 1))
 
@@ -1166,16 +1205,17 @@ def _learn_dl_rate(table, total_body: int, covered_bits: int) -> None:
     jax.jit,
     static_argnames=(
         "need_words", "G", "seg_words", "S_dl", "max_syms", "intervals",
-        "aux", "interpret", "n_dl",
+        "aux", "interpret", "n_dl", "repair",
     ),
 )
 def _segments_pipeline_dense(buf, w0, start_bit, lengths, rs, *, need_words,
                              G, seg_words, S_dl, max_syms, intervals, aux,
-                             interpret, n_dl=None):
+                             interpret, n_dl=None, repair=True):
     body_pad, small, raw, _cut = _dense_core(
         buf, w0, start_bit, lengths, rs, need_words=need_words, G=G,
         seg_words=seg_words, S_dl=S_dl, max_syms=max_syms,
         intervals=intervals, aux=aux, interpret=interpret, n_dl=n_dl,
+        repair=repair,
     )
     return body_pad, small, raw
 
@@ -1184,13 +1224,13 @@ def _segments_pipeline_dense(buf, w0, start_bit, lengths, rs, *, need_words,
     jax.jit,
     static_argnames=(
         "need_words", "G", "seg_words", "S_dl", "max_syms", "intervals",
-        "aux", "interpret", "n_dl",
+        "aux", "interpret", "n_dl", "repair",
     ),
 )
 def _segments_pipeline_dense_capped(buf, w0, start_bit, lengths, rs,
                                     capacity, *, need_words, G, seg_words,
                                     S_dl, max_syms, intervals, aux,
-                                    interpret, n_dl=None):
+                                    interpret, n_dl=None, repair=True):
     """Dense pipeline + the capacity cut computed ON DEVICE (round 4,
     VERDICT r3 #8): the capped streaming drain needs (emitted symbols,
     resume bit, more) — with the cut segment and its boundary bit found
@@ -1205,6 +1245,7 @@ def _segments_pipeline_dense_capped(buf, w0, start_bit, lengths, rs,
         buf, w0, start_bit, lengths, rs, need_words=need_words, G=G,
         seg_words=seg_words, S_dl=S_dl, max_syms=max_syms,
         intervals=intervals, aux=aux, interpret=interpret, n_dl=n_dl,
+        repair=repair,
     )
     counts = cut["counts"]
     seg_bits = seg_words * 32
@@ -1384,13 +1425,14 @@ def _value_from_words_np(words_np: np.ndarray, base_bit: int, from_bit: int,
     jax.jit,
     donate_argnums=(0,),
     static_argnames=(
-        "sh", "capped", "need_words", "G", "seg_words", "S_dl", "max_syms",
-        "intervals", "aux", "interpret", "cap_slice", "n_dl",
+        "capped", "need_words", "G", "seg_words", "S_dl", "max_syms",
+        "intervals", "aux", "interpret", "cap_slice", "n_dl", "repair",
     ),
 )
-def _fused_drain_call(buf, up, cw, w0b, w0, sb, rs, capacity, lengths, *,
-                      sh, capped, need_words, G, seg_words, S_dl, max_syms,
-                      intervals, aux, interpret, cap_slice, n_dl=None):
+def _fused_drain_call(buf, up, cw, w0b, w0, sb, rs, capacity, lengths, sh, *,
+                      capped, need_words, G, seg_words, S_dl, max_syms,
+                      intervals, aux, interpret, cap_slice, n_dl=None,
+                      repair=True):
     """ONE device program per streaming drain (round 5, VERDICT r4 #3).
 
     Fuses the four dispatches a `decode_chunk` call used to pay — compact
@@ -1410,14 +1452,18 @@ def _fused_drain_call(buf, up, cw, w0b, w0, sb, rs, capacity, lengths, *,
     # 1. compact slide (cw == 0 is a cheap full copy, fused with 2)
     padded = jnp.concatenate([buf, jnp.zeros(n, jnp.uint32)])
     buf = jax.lax.dynamic_slice(padded, (cw,), (n,))
-    # 2. merge-append the new words (static-shape upload; see _merge_words)
+    # 2. merge-append the new words. ``sh`` (the byte phase * 8) is TRACED
+    # — a static sh compiled 4 graph variants per config, and each big
+    # fused executable costs 5-15 s of per-process compile-cache load
+    # (round 5 gate profile). Double shifts keep sh == 0 defined.
     if up.shape[0]:
-        if sh:
-            ext = jnp.concatenate([jnp.zeros(1, jnp.uint32), up])
-            shifted = (ext[:-1] << jnp.uint32(32 - sh)) | (
-                ext[1:] >> jnp.uint32(sh)
-            )
-            up = jnp.concatenate([shifted, up[-1:] << jnp.uint32(32 - sh)])
+        shu = sh.astype(jnp.uint32)
+        inv = (jnp.uint32(31) - shu)
+        ext = jnp.concatenate([jnp.zeros(1, jnp.uint32), up])
+        shifted = ((ext[:-1] << inv) << jnp.uint32(1)) | (ext[1:] >> shu)
+        up = jnp.concatenate(
+            [shifted, (up[-1:] << inv) << jnp.uint32(1)]
+        )
         first = jax.lax.dynamic_index_in_dim(buf, w0b, keepdims=False)
         up = up.at[0].set(up[0] | first)
         buf = jax.lax.dynamic_update_slice(buf, up, (w0b,))
@@ -1428,14 +1474,14 @@ def _fused_drain_call(buf, up, cw, w0b, w0, sb, rs, capacity, lengths, *,
             buf, w0, sb, lengths, rs, capacity,
             need_words=need_words, G=G, seg_words=seg_words, S_dl=S_dl,
             max_syms=max_syms, intervals=intervals, aux=aux,
-            interpret=interpret, n_dl=n_dl,
+            interpret=interpret, n_dl=n_dl, repair=repair,
         )
     else:
         body_pad, small, _raw = _segments_pipeline_dense(
             buf, w0, sb, lengths, rs,
             need_words=need_words, G=G, seg_words=seg_words, S_dl=S_dl,
             max_syms=max_syms, intervals=intervals, aux=aux,
-            interpret=interpret, n_dl=n_dl,
+            interpret=interpret, n_dl=n_dl, repair=repair,
         )
         cut_small = (jnp.bool_(False), jnp.int32(0), small[0])
     # 4. tail window at the resume point (host finishes the last partial
@@ -1541,11 +1587,12 @@ def fused_drain_words(
         jnp.int32(w0), jnp.int32(sb), jnp.int32(S),
         jnp.int32(min(capacity if capacity is not None else (1 << 30),
                       1 << 30)),
-        jnp.asarray(table.lengths.astype(np.int32)),
-        sh=sh, capped=capacity is not None, need_words=need_words, G=G,
+        jnp.asarray(table.lengths.astype(np.int32)), jnp.int32(sh),
+        capped=capacity is not None, need_words=need_words, G=G,
         seg_words=seg_words, S_dl=S_dl, max_syms=max_syms,
         intervals=intervals, aux=aux, interpret=_use_interpret(),
         cap_slice=cap_slice, n_dl=n_dl,
+        repair=(not _use_interpret()) or _REPAIR_IN_INTERPRET,
     )
     body_cap, sm, cs, tailw_np = jax.device_get(
         (body_pad, small, cut_small, tailw)
@@ -1683,6 +1730,7 @@ def selfsync_decode_capped_words(
             need_words=need_words, G=G, seg_words=seg_words,
             S_dl=S_dl, max_syms=max_syms, intervals=intervals, aux=aux,
             interpret=interp, n_dl=n_dl,
+            repair=(not interp) or _REPAIR_IN_INTERPRET,
         )
         body_cap, sm, cs = jax.device_get(
             (body_pad[:cap_slice], small, cut_small)

@@ -425,6 +425,7 @@ class MeshCodec:
             n_symbols=n_sym,
             total_symbols=n,
             total_bits=total_bits,
+            max_code_len=int(self.table.lengths[symbols].max()) if n else 0,
         )
         return bytes(out), index
 

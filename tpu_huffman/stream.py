@@ -786,7 +786,10 @@ class HuffmanDecoder:
         up_bytes = 0
         if new.size:
             w_new, _ = words_from_bytes_np(new.tobytes())
-            n_up = 1 << max(0, (w_new.size + 1 - 1).bit_length())
+            # floor the bucket at 256 words: sub-KB upload waste is free,
+            # and every distinct bucket is a fused-graph variant whose
+            # per-process compile-cache load costs seconds
+            n_up = max(256, 1 << max(0, (w_new.size + 1 - 1).bit_length()))
             up = np.zeros(n_up, np.uint32)
             up[: w_new.size] = w_new
             up_bytes = int(new.size)
